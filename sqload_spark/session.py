@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults match the test container (``local[$SPARK_GRAFT_CPUS]``),
+but every setting here is the one we would also want on a real cluster:
+AQE on (runtime re-planning, skew-join splitting, partition coalescing),
+UTC session time zone (the test data is zone-less), Arrow transfers for any
+pandas exchange, and shuffle partitions sized to the parallelism at hand
+rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "sqload_spark", shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = default_parallelism()
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        # events.parquet stores INT64 TIMESTAMP(NANOS); Spark has no nanosecond
+        # timestamp, so read it as a raw long and convert in the catalog
+        # (sources/tables.py) — see configure() below for driver-owned sessions.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine configs to an externally created session.
+
+    The correctness driver builds its own SparkSession before calling our
+    queries, so anything we depend on must be settable at runtime. All of
+    these are.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
