@@ -1,1 +1,51 @@
-"""Registry entries exposing the synthetic-table generator (task 3)."""
+"""Registry entries exposing the synthetic-table generator (the reference's
+entire surface, SURVEY.md §2A) through the driver contract.
+
+Generated data is random-by-design, so there is no DuckDB oracle — these are
+rows-only checks. The exact statistical laws (ranges, charsets, uniqueness,
+determinism) are enforced by tests/test_generator.py instead. The one
+deterministic column family, key/rkey, gets a self-checking query whose
+output embeds the law it proves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqload_spark.registry import query
+from sqload_spark.sources.generate import generate_table
+
+GEN_ROWS = 10_000
+
+
+@query("gen_default_table")
+def gen_default_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's no-arg default: int,varchar(50),double,date,bigint
+    (generate_csv.cpp:358-360), deterministic at seed 42."""
+    return generate_table(spark, GEN_ROWS, seed=42)
+
+
+@query("gen_all_types_table")
+def gen_all_types_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every supported type in one table (README.md:3 list + year)."""
+    spec = (
+        "key,rkey,bit,tinyint,smallint,mediumint,int,bigint,float,double,"
+        "char(5),nchar(3),varchar(10),varchar2(10),nvarchar2(3),text,blob,"
+        "date,datetime,timestamp,time,year,decimal(10,2),number(20,4)"
+    )
+    return generate_table(spark, 1_000, spec, seed=42)
+
+
+@query("gen_keys_law")
+def gen_keys_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-checking uniqueness/monotonicity proof for key/rkey: one row of
+    invariants the driver can eyeball (all counts must equal GEN_ROWS)."""
+    df = generate_table(spark, GEN_ROWS, "key,rkey", seed=42)
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("c0").alias("n_distinct_keys"),
+        F.countDistinct("c1").alias("n_distinct_rkeys"),
+        (F.max("c0") - F.min("c0") + 1).alias("key_span"),
+        F.sum(F.when(F.col("c0") >= 0, 1).otherwise(0)).alias("n_keys_nonneg"),
+    )

@@ -1,0 +1,38 @@
+"""The distributed synthetic-table source — the reference generator,
+re-expressed as ``spark.range(rows, numPartitions) → project → (write)``.
+
+The whole pipeline is shuffle-free: each partition generates its id slice
+independently, every value is a pure function of (id, seed), and the write
+fans out one file per partition. Throughput therefore scales linearly with
+cores/executors — the property the single-threaded reference fundamentally
+lacks (/root/reference/README.md:45: one core at 99%).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sqload_spark.plans.planner import plan_columns
+from sqload_spark.plans.spec_parser import ColumnSpec, parse_spec
+
+DEFAULT_SPEC = "int,varchar(50),double,date,bigint"  # generate_csv.cpp:360
+DEFAULT_ROWS = 100_000  # generate_csv.cpp:359
+
+
+def generate_table(
+    spark: SparkSession,
+    rows: int = DEFAULT_ROWS,
+    spec: str | list[ColumnSpec] = DEFAULT_SPEC,
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Build a DataFrame of `rows` synthetic rows for the given column spec.
+
+    Deterministic: same (rows, spec, seed) → identical values at any
+    `num_partitions` (draws are hash-of-id, not partition-seeded rand()).
+    """
+    specs = parse_spec(spec) if isinstance(spec, str) else spec
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    base = spark.range(0, rows, 1, num_partitions)
+    return base.select(*plan_columns(specs, seed=seed))

@@ -1,0 +1,80 @@
+"""Sinks: reference-style CSV, partitioned parquet bulk load, JDBC.
+
+The reference streams unquoted comma-joined rows to stdout
+(/root/reference/generate_csv.cpp:164,192-196,243). Our distributed
+equivalents:
+
+* ``write_reference_csv`` — per-partition CSV part files, no header, no
+  quoting (the generator charsets are alnum-only so quoting is never
+  needed), MySQL-style temporal formats.
+* ``write_partitioned_parquet`` — the "bulk load into a partitioned
+  database" ETL shape the generator exists to feed: range-repartition on
+  the load key (balanced, sorted part files; co-located with downstream
+  bucketed joins) + optional hive-style directory partitioning.
+* ``write_jdbc`` — the real-database path (no DB server in this container;
+  kept behind an interface and exercised only for plan construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_reference_csv(df: DataFrame, path: str, num_files: int | None = None) -> None:
+    out = df.coalesce(num_files) if num_files else df
+    (
+        out.write.mode("overwrite")
+        .option("header", "false")
+        .option("quoteAll", "false")
+        .option("emptyValue", "")
+        .option("nullValue", "")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+        .option("dateFormat", "yyyy-MM-dd")
+        .csv(path)
+    )
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    range_key: str | None = None,
+    partition_by: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> None:
+    """Bulk-load shape: balanced range partitions on the load key so each
+    output file covers a disjoint, sorted key range (what a partitioned DB
+    bulk loader wants), plus optional hive-style directory partitioning for
+    partition-pruned reads."""
+    out = df
+    if range_key is not None:
+        n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        out = df.repartitionByRange(n, range_key).sortWithinPartitions(range_key)
+    writer = out.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    **properties: str,
+) -> None:
+    """JDBC bulk insert (one connection per partition, batched inserts).
+    Untested in this container (no database server); the interface mirrors
+    what a real OceanBase/MySQL load would use."""
+    out = df.repartition(num_partitions) if num_partitions else df
+    (
+        out.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batch_size))
+        .options(**properties)
+        .mode(mode)
+        .save()
+    )
