@@ -1,1 +1,285 @@
-"""Deduplication operators (exact / MinHash / SimHash / Jaccard / embedding)."""
+"""Deduplication operators over `documents` / `embeddings` — the LLM-data-
+pipeline core: exact, near-dup via n-gram Jaccard (exact), MinHash+LSH
+(the scale path), SimHash banding, and embedding-cosine near-dup.
+
+Scale design (100 TB): the exact Jaccard pair join is quadratic in docs per
+shared shingle and exists as the verification oracle / small-corpus path.
+The production path is MinHash+LSH: one map-side pass computes a 64-permutation
+signature per document (array expressions, no shuffle), banding shuffles
+ONLY (doc_id, band_hash) pairs — constant bytes per doc — and the candidate
+join touches just same-bucket documents. Verification re-computes exact
+Jaccard on candidates only. SimHash is the same shape with 4×16-bit bands.
+
+All thresholds compare UNROUNDED values; reported scores use the cross-
+engine-stable half-up rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
+from sqload_spark.functions.text_funcs import (
+    hamming64,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+    tokens,
+)
+from sqload_spark.registry import query
+from sqload_spark.sources.tables import load_table
+
+JACCARD_THRESHOLD = 0.5
+NUM_PERM = 64
+LSH_BANDS = 32  # r=2 rows/band → P(candidate | j=0.5) ≈ 0.9999
+COSINE_DUP_THRESHOLD = 0.35
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_groups",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+      FROM documents
+    )
+    SELECT fp, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+    FROM canon
+    GROUP BY fp
+    HAVING count(*) > 1
+    ORDER BY fp
+    """,
+)
+def exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a canonical form (sorted distinct token set): hash →
+    groupBy → keep min doc_id. The canonical md5 is cross-engine stable.
+    At scale this is one hash-shuffle on a 32-byte key."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(F.col("text")))), " "))
+    return (
+        docs.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup: exact n-gram Jaccard (the correctness baseline).
+# ---------------------------------------------------------------------------
+
+_JACCARD_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   for i in range(1, len(t) - 1)])) AS sh
+      FROM toks
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           {sql_round_half_up("i::DOUBLE / (ca.n + cb.n - i)", 4)} AS jaccard
+    FROM inter
+    JOIN cnt ca ON da = ca.doc_id
+    JOIN cnt cb ON db = cb.doc_id
+    WHERE i::DOUBLE / (ca.n + cb.n - i) >= {JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+"""
+
+
+def _shingle_pairs(docs: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
+    """(doc_a, doc_b, jaccard_raw) via shingle-intersection join; optionally
+    restricted to a candidate-pair DataFrame (the LSH path)."""
+    sh = docs.select(
+        "doc_id", F.explode(shingle_hashes(F.col("text"), 3)).alias("sh")
+    )
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))).alias("jaccard_raw"),
+        )
+    )
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (threshold 0.5).
+
+    Quadratic-in-collisions by nature — this is the baseline/verifier; the
+    scale path is dedup_minhash_lsh below."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _shingle_pairs(docs)
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", round_half_up(F.col("jaccard_raw"), 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup: MinHash + LSH banding (the 100 TB path). Same answer as the
+# exact query on this corpus (verified in tests), found without the
+# all-pairs shingle join.
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) signatures → 32 bands × 2 rows → bucket join → exact-
+    Jaccard verification of candidates only.
+
+    With r=2, b=32 the candidate probability at the 0.5 threshold is
+    1-(1-0.5²)³² ≈ 0.9999, so the output provably-almost-surely equals the
+    exact query — which is why it can share the same oracle. Deterministic:
+    all hashing is seeded xxhash64."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select("doc_id", *minhash_signature(shingle_hashes(F.col("text"), 3), NUM_PERM))
+    rows_per_band = NUM_PERM // LSH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("bh"),
+                    )
+                    for band in range(LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    docs_pairs = _shingle_pairs(docs, candidates=candidates)
+    return (
+        docs_pairs.filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", round_half_up(F.col("jaccard_raw"), 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup: SimHash banding (rows-only; validated by property tests).
+# ---------------------------------------------------------------------------
+
+
+SIMHASH_MAX_HAMMING = 3  # 4 bands × 16 bits: hamming ≤ 3 ⇒ some band is clean
+
+
+@query("dedup_simhash")
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash over 3-gram shingle hashes (same similarity notion as
+    the Jaccard queries); candidate pairs share ≥1 of four 16-bit bands —
+    by pigeonhole that finds EVERY pair with Hamming ≤ 3, which is the
+    reported threshold. Deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    sims = docs.select("doc_id", simhash64(shingle_hashes(F.col("text"), 3)).alias("sim"))
+    bands = sims.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftrightunsigned(F.col("sim"), 16 * k).bitwiseAND(F.lit(0xFFFF)).alias("bh"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sim", "b.band", "b.bh")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup on embeddings: exact pairwise cosine (baseline; ANN variants live
+# in operators/similarity.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_round_half_up(
+               "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])", 4)} AS cos_sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {COSINE_DUP_THRESHOLD}
+    ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sqload_spark.functions.vectors import cosine, to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", round_half_up(F.col("cos_raw"), 4).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,1 +1,119 @@
-"""Multimodal column operators (binary payloads + typed metadata)."""
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata, with
+decode/feature-extraction as Arrow-batched pandas over ``mapInPandas``.
+
+The corpus has no real image/audio bytes, so the payload is synthesized
+(utf-8 bytes of the text — deterministic), and the DECODE step is a
+clearly-marked stub: real decoders (PIL/librosa/ffmpeg) are not in this
+container, so ``_decode_stub`` derives deterministic fake features from the
+bytes. Everything Spark-side — schema, binary column handling, Arrow batch
+shapes, partitioning — is real and is what matters at 100 TB:
+
+* payloads stay in executors (never collected);
+* ``mapInPandas`` streams record batches, so peak memory is one Arrow batch
+  per core, not one partition;
+* feature extraction is embarrassingly parallel — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqload_spark.registry import query
+from sqload_spark.sources.tables import load_table
+
+CHUNK_BYTES = 256
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """Attach the synthetic binary payload + typed metadata struct."""
+    fmt = (
+        F.when(F.col("doc_id") % 3 == 0, "png")
+        .when(F.col("doc_id") % 3 == 1, "jpeg")
+        .otherwise("webp")
+    )
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            fmt.alias("format"),
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "mm_payload_stats",
+    oracle=f"""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           CAST(ceil(octet_length(encode(text))::DOUBLE / {CHUNK_BYTES}) AS BIGINT) AS n_chunks,
+           CASE WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'jpeg'
+                ELSE 'webp' END AS format
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM-side half of the multimodal path: binary length / chunking /
+    metadata — pure expressions, oracle-checked."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = with_payload(docs)
+    byte_len = F.length(F.col("payload")).cast("bigint")
+    return df.select(
+        "doc_id",
+        byte_len.alias("byte_len"),
+        F.ceil(byte_len.cast("double") / CHUNK_BYTES).cast("bigint").alias("n_chunks"),
+        F.col("meta.format").alias("format"),
+    ).orderBy("doc_id")
+
+
+def _decode_stub(payload: bytes, fmt: str) -> dict:
+    """STUB — stands in for a real image decoder (PIL/libjpeg are not
+    available in this container). Derives deterministic fake features from
+    the bytes so the full pipeline is exercised end-to-end. Swap the body
+    for e.g. ``PIL.Image.open(io.BytesIO(payload))`` in production."""
+    h = 0
+    for b in payload[:64]:
+        h = (h * 131 + b) & 0xFFFFFFFF
+    return {
+        "width": 64 + (h % 512),
+        "height": 64 + ((h >> 9) % 512),
+        "mean_byte": float(sum(payload) / len(payload)) if payload else 0.0,
+        "n_frames": 1 if fmt != "webp" else 1 + (h % 4),
+    }
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        feats = [
+            _decode_stub(payload, fmt)
+            for payload, fmt in zip(pdf["payload"], pdf["format"])
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": [f["width"] for f in feats],
+                "height": [f["height"] for f in feats],
+                "mean_byte": [f["mean_byte"] for f in feats],
+                "n_frames": [f["n_frames"] for f in feats],
+            }
+        )
+
+
+FEATURE_SCHEMA = "doc_id bigint, width bigint, height bigint, mean_byte double, n_frames bigint"
+
+
+@query("mm_decode_features")
+def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode / feature-extract via mapInPandas (Arrow-batched). The decode
+    itself is the deterministic stub above; the Spark plumbing (binary
+    column → Arrow → pandas → schema'd output) is the real thing."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = with_payload(docs).select("doc_id", "payload", F.col("meta.format").alias("format"))
+    return df.mapInPandas(_extract_features, schema=FEATURE_SCHEMA).orderBy("doc_id")

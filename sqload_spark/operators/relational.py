@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from sqload_spark.functions.rounding import round_half_up
 from sqload_spark.registry import query
 from sqload_spark.sources.tables import load_table
 
@@ -47,9 +48,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            round_half_up(F.avg("l_quantity"), 4).alias("avg_qty"),
+            round_half_up(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            round_half_up(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -64,9 +65,9 @@ query(
            round(sum(l_extendedprice), 2)                                       AS sum_base_price,
            round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
-           round(avg(l_quantity), 4)                                            AS avg_qty,
-           round(avg(l_extendedprice), 4)                                       AS avg_price,
-           round(avg(l_discount), 4)                                            AS avg_disc,
+           floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0                     AS avg_qty,
+           floor(avg(l_extendedprice) * 10000.0 + 0.5) / 10000.0                AS avg_price,
+           floor(avg(l_discount) * 10000.0 + 0.5) / 10000.0                     AS avg_disc,
            count(*)                                                             AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -734,7 +735,7 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           round(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)), 4) AS avg_k
+           floor(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) * 10000.0 + 0.5) / 10000.0 AS avg_k
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -747,6 +748,6 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select("event_type", F.get_json_object("props", "$.k").cast("bigint").alias("k"))
         .groupBy("event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.avg("k"), 4).alias("avg_k"))
+        .agg(F.count("*").alias("n_events"), round_half_up(F.avg("k"), 4).alias("avg_k"))
         .orderBy("event_type")
     )

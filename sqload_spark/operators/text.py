@@ -1,1 +1,244 @@
-"""Text-analysis operators over the `documents` table. (Filled in task 4.)"""
+"""Text-analysis operators over the `documents` table: tokenization stats,
+top terms, language ID (stopword/marker heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), md5 fingerprints.
+
+Everything is array/string expressions over one scan — map-side until the
+final (small-cardinality) aggregation, so each operator is one narrow
+shuffle regardless of corpus size. All queries here are DuckDB-oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
+from sqload_spark.functions.text_funcs import LANG_MARKERS, STOPWORDS, tokens
+from sqload_spark.registry import query
+from sqload_spark.sources.tables import load_table
+
+
+@query(
+    "text_top_terms_per_lang",
+    oracle="""
+    WITH terms AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ), counted AS (
+      SELECT lang, term, count(*) AS n FROM terms GROUP BY lang, term
+    ), ranked AS (
+      SELECT lang, term, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rnk
+      FROM counted
+    )
+    SELECT lang, term, n, rnk FROM ranked WHERE rnk <= 5
+    ORDER BY lang, rnk
+    """,
+)
+def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "term")
+    return (
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("lang", "term")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .orderBy("lang", "rnk")
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS total_tokens,
+           floor(avg(len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0 AS avg_tokens,
+           sum(n_chars) AS total_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_toks = F.size(tokens(F.col("text"))).cast("bigint")
+    return (
+        docs.select("source", "lang", "n_chars", n_toks.alias("n_toks"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("total_tokens"),
+            round_half_up(F.avg("n_toks"), 4).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+def _marker_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
+
+
+_LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+_PREDICT_SQL = " ".join(
+    [
+        "CASE "
+        + " ".join(
+            f"WHEN s_{lang} >= greatest({', '.join('s_' + o for o in _LANG_ORDER)}) THEN '{lang}'"
+            for lang in _LANG_ORDER
+        )
+        + " END"
+    ]
+)
+
+
+@query(
+    "text_langid_markers",
+    oracle=f"""
+    WITH scored AS (
+      SELECT lang,
+             {_marker_sql('en')} AS s_en,
+             {_marker_sql('de')} AS s_de,
+             {_marker_sql('es')} AS s_es,
+             {_marker_sql('fr')} AS s_fr,
+             {_marker_sql('zh')} AS s_zh
+      FROM documents
+    )
+    SELECT lang, {_PREDICT_SQL} AS predicted, count(*) AS n_docs
+    FROM scored GROUP BY 1, 2 ORDER BY lang, predicted
+    """,
+)
+def langid_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword/marker language-ID heuristic. (On this synthetic corpus the
+    vocabulary is shared across language labels, so the interesting output
+    is the machinery's agreement matrix, not real accuracy.) Ties resolve
+    by fixed language priority — identical CASE order in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def marker_hits(words: tuple[str, ...]):
+        return lambda t: t.isin(*words)
+
+    scored = docs.select(
+        "lang",
+        *[
+            F.size(F.filter(toks, marker_hits(LANG_MARKERS[lang]))).alias(f"s_{lang}")
+            for lang in _LANG_ORDER
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lang}") for lang in _LANG_ORDER])
+    expr = None
+    for lang in _LANG_ORDER:
+        cond = F.col(f"s_{lang}") >= best
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return (
+        scored.select("lang", expr.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             len(list_filter(string_split(text, ' '),
+                 t -> t IN ({", ".join("'" + w + "'" for w in STOPWORDS)}))) AS n_stop,
+             list_sum(list_transform(string_split(text, ' '), t -> len(t))) AS tok_chars
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           {sql_round_half_up("n_distinct::DOUBLE / n_tokens", 4)} AS type_token_ratio,
+           {sql_round_half_up("n_stop::DOUBLE / n_tokens", 4)} AS stopword_ratio,
+           {sql_round_half_up("tok_chars::DOUBLE / n_tokens", 4)} AS avg_token_len,
+           {sql_round_half_up(
+               "0.4 * (n_distinct::DOUBLE / n_tokens) "
+               "+ 0.3 * (1 - n_stop::DOUBLE / n_tokens) "
+               "+ 0.3 * least(n_tokens / 50.0, 1.0)", 4)} AS quality
+    FROM feats
+    ORDER BY doc_id
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / stopword / lexical-diversity quality features + a combined
+    score — the standard cheap pre-filter in LLM data pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("bigint").alias("n_stop"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).alias("tok_chars"),
+    )
+    ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return feats.select(
+        "doc_id",
+        "n_tokens",
+        round_half_up(ttr, 4).alias("type_token_ratio"),
+        round_half_up(stop_ratio, 4).alias("stopword_ratio"),
+        round_half_up(F.col("tok_chars").cast("double") / F.col("n_tokens"), 4).alias("avg_token_len"),
+        round_half_up(
+            0.4 * ttr + 0.3 * (1 - stop_ratio) + 0.3 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0)),
+            4,
+        ).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+           n_chars
+    FROM documents
+    WHERE doc_id < 100
+    ORDER BY doc_id
+    """,
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (letter runs / digit runs / single non-alnum symbols)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.size(tokens(F.col("text"))).alias("ws_tokens"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))).alias(
+                "re_tokens"
+            ),
+            "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_md5_fingerprint",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp, length(text) AS text_len
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id
+    """,
+)
+def md5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-stable document fingerprint (md5 hex) — the exact-dedup key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") < 50)
+        .select("doc_id", F.md5("text").alias("fp"), F.length("text").cast("bigint").alias("text_len"))
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,112 @@
+"""Property tests for the non-oracle LLM-pipeline paths: LSH/IVF ANN recall
+vs brute force, MinHash-LSH ≡ exact Jaccard, SimHash banding guarantee,
+multimodal decode determinism and Arrow-batch plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from sqload_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def results(spark):
+    names = [
+        "sim_topk_bruteforce",
+        "sim_topk_hyperplane_lsh",
+        "sim_topk_ivf",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+    ]
+    return {n: registry.QUERIES[n](spark, SF_DIR).toPandas() for n in names}
+
+
+def _pairset(df, a="q_id", b="n_id"):
+    return set(zip(df[a], df[b]))
+
+
+def test_minhash_lsh_equals_exact(results):
+    """r=2,b=32 banding at θ=0.5: P(miss) ≈ 1e-4 per pair — on this corpus
+    the LSH pipeline must reproduce the exact pair list bit-for-bit."""
+    ex, mh = results["dedup_ngram_jaccard"], results["dedup_minhash_lsh"]
+    assert len(ex) > 0, "corpus should contain planted near-duplicates"
+    assert ex.reset_index(drop=True).equals(mh.reset_index(drop=True))
+
+
+def test_simhash_banding_guarantee(spark, results):
+    """The 4×16 banding contract: EVERY pair at hamming ≤ 3 is found
+    (pigeonhole: 3 flipped bits can't touch all 4 bands), and every
+    reported pair really is at hamming ≤ 3. Checked against a full
+    pairwise pure-Python recomputation of the signatures."""
+    from pyspark.sql import functions as F
+
+    from sqload_spark.functions.text_funcs import shingle_hashes, simhash64
+    from sqload_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sims = (
+        docs.select("doc_id", simhash64(shingle_hashes(F.col("text"), 3)).alias("sim"))
+        .toPandas()
+        .set_index("doc_id")["sim"]
+    )
+    mask = (1 << 64) - 1
+    ids = sorted(sims.index)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((int(sims[a]) ^ int(sims[b])) & mask).count("1") <= 3
+    }
+    found = _pairset(results["dedup_simhash"], "doc_a", "doc_b")
+    assert found == truth
+    # and the strong planted near-dups overwhelmingly land inside the radius
+    strong = _pairset(results["dedup_ngram_jaccard"].query("jaccard >= 0.9"), "doc_a", "doc_b")
+    assert len(strong & found) / len(strong) >= 0.6  # measured 16/25 at radius 3
+
+
+@pytest.mark.parametrize("ann,floor", [("sim_topk_hyperplane_lsh", 0.3), ("sim_topk_ivf", 0.4)])
+def test_ann_recall(results, ann, floor):
+    """Recall@5 vs brute force. The embeddings are near-uniform random (no
+    cluster structure), which is the worst case for ANN — bounds are set
+    from measured behavior (LSH 0.42, IVF 0.52) with slack, and mainly
+    guard against the bucketing logic breaking entirely."""
+    bf, approx = _pairset(results["sim_topk_bruteforce"]), _pairset(results[ann])
+    recall = len(bf & approx) / len(bf)
+    assert recall >= floor, f"{ann} recall {recall:.2f} < {floor}"
+
+
+def test_ann_results_are_true_neighbors(results):
+    """Every ANN hit must be a real (correctly-scored) pair: the cos_sim of
+    a returned neighbor must match brute force where both contain it."""
+    bf = results["sim_topk_bruteforce"].set_index(["q_id", "n_id"]).cos_sim
+    for ann in ("sim_topk_hyperplane_lsh", "sim_topk_ivf"):
+        df = results[ann]
+        joined = df.set_index(["q_id", "n_id"]).cos_sim
+        common = bf.index.intersection(joined.index)
+        assert (bf.loc[common] == joined.loc[common]).all()
+
+
+def test_mm_decode_deterministic_and_batched(spark):
+    a = registry.QUERIES["mm_decode_features"](spark, SF_DIR).toPandas()
+    b = registry.QUERIES["mm_decode_features"](spark, SF_DIR).toPandas()
+    assert a.equals(b)
+    assert set(a.columns) == {"doc_id", "width", "height", "mean_byte", "n_frames"}
+    assert len(a) == 500 and a.doc_id.is_unique
+    assert ((a.width >= 64) & (a.width < 576)).all()
+    assert ((a.mean_byte > 0) & (a.mean_byte < 256)).all()
+
+
+def test_mm_payload_roundtrip(spark):
+    """Payload bytes must round-trip exactly (binary column integrity)."""
+    from sqload_spark.operators.multimodal import with_payload
+    from sqload_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    row = with_payload(docs).filter("doc_id = 7").first()
+    original = docs.filter("doc_id = 7").first()
+    assert bytes(row.payload).decode("utf-8") == original.text
+    assert row.meta.format == "jpeg"  # 7 % 3 == 1
