@@ -1,1 +1,263 @@
-"""Time-series operators over `events` (windows, sessionization, as-of join)."""
+"""Time-series operators over the `events` stream table: tumbling/sliding
+windows, sessionization, as-of join, per-entity first/last, moving frames.
+
+Precision note (see sources/tables.py): events.ts is nanosecond-precision
+in parquet. Spark's TimestampType is microseconds — and DuckDB likewise
+truncates TIMESTAMP(NANOS) to its native microsecond TIMESTAMP on read —
+so the exact cross-engine currency is int64 EPOCH MICROSECONDS:
+Spark computes ``ts_ns div 1000`` (integer division on the raw long; double
+math would lose precision at 1e18) and oracles use ``epoch_us(ts)``.
+All bucket/gap/order arithmetic is integer µs on both sides → bit-identical.
+
+Scale notes: window aggregations shuffle on (bucket, key) — bounded
+cardinality, map-side partials first. Sessionization and as-of join
+shuffle once on user_id and then window within partitions; skew is handled
+by AQE. No driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
+from sqload_spark.registry import query
+from sqload_spark.sources.tables import load_table
+
+US_PER_SEC = 1_000_000
+TEN_MIN_US = 600 * US_PER_SEC
+FIVE_MIN_US = 300 * US_PER_SEC
+DAY_US = 86_400 * US_PER_SEC
+SESSION_GAP_US = 12 * 3600 * US_PER_SEC  # 12 h — matches the per-user event density
+
+
+def _ts_us() -> Column:
+    """Exact epoch-microseconds from the raw nanosecond long."""
+    return F.expr("ts_ns div 1000")
+
+
+def _events_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").withColumn("ts_us", _ts_us())
+
+
+@query(
+    "ts_tumbling_window",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {TEN_MIN_US}) * 600 AS ws_sec,
+           event_type,
+           count(*) AS n_events,
+           {sql_round_half_up("sum(value)", 2)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY ws_sec, event_type
+    """,
+)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling windows per event type (integer bucket math;
+    ws_sec = window start in epoch seconds)."""
+    ev = _events_us(spark, sf_dir)
+    ws = F.expr(f"(ts_us div {TEN_MIN_US}) * 600")
+    return (
+        ev.groupBy(ws.alias("ws_sec"), "event_type")
+        .agg(F.count("*").alias("n_events"), round_half_up(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("ws_sec", "event_type")
+    )
+
+
+@query(
+    "ts_sliding_window",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT (epoch_us(ts) // {FIVE_MIN_US}) * 300 AS ws_sec, value FROM events
+      UNION ALL
+      SELECT (epoch_us(ts) // {FIVE_MIN_US}) * 300 - 300 AS ws_sec, value FROM events
+    )
+    SELECT ws_sec, count(*) AS n_events,
+           {sql_round_half_up("sum(value)", 2)} AS sum_value
+    FROM assigned
+    GROUP BY ws_sec
+    ORDER BY ws_sec
+    """,
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 minutes: each event lands in two
+    windows (its 5-min bucket and the one 5 min earlier) — the explicit
+    window-assignment expansion Spark's window() does internally."""
+    ev = _events_us(spark, sf_dir)
+    bucket = F.expr(f"(ts_us div {FIVE_MIN_US}) * 300")
+    assigned = ev.select(
+        F.explode(F.array(bucket, bucket - F.lit(300))).alias("ws_sec"), "value"
+    )
+    return (
+        assigned.groupBy("ws_sec")
+        .agg(F.count("*").alias("n_events"), round_half_up(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("ws_sec")
+    )
+
+
+@query(
+    "ts_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, epoch_us(ts) AS t, value,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_t
+      FROM events
+    ), flagged AS (
+      SELECT user_id, t, value,
+             CASE WHEN prev_t IS NULL OR t - prev_t > {SESSION_GAP_US} THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), numbered AS (
+      SELECT user_id, t, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, min(t) AS session_start_us, max(t) AS session_end_us,
+           count(*) AS n_events, {sql_round_half_up("sum(value)", 2)} AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (12 h), the classic lag + cumulative-sum
+    formulation — batch twin of streaming session_window."""
+    ev = _events_us(spark, sf_dir)
+    w_order = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    w_run = W.partitionBy("user_id").orderBy("t").rowsBetween(W.unboundedPreceding, W.currentRow)
+    flagged = ev.select(
+        "user_id",
+        F.col("ts_us").alias("t"),
+        "value",
+        F.when(
+            F.lag("ts_us").over(w_order).isNull()
+            | ((F.col("ts_us") - F.lag("ts_us").over(w_order)) > SESSION_GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    numbered = flagged.withColumn("session_id", F.sum("is_new").over(w_run))
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.min("t").alias("session_start_us"),
+            F.max("t").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            round_half_up(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "ts_asof_join",
+    oracle="""
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+           coalesce(epoch_us(v.ts), -1) AS last_view_us,
+           coalesce(epoch_us(p.ts) - epoch_us(v.ts), -1) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts > v.ts
+    ORDER BY p.event_id
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest strictly-prior view
+    by the same user. Spark has no ASOF JOIN operator; the scalable
+    formulation is a tagged union + last(ignorenulls) window — one shuffle
+    on user_id, no range-join explosion. (DuckDB's native ASOF JOIN is the
+    oracle.)"""
+    ev = _events_us(spark, sf_dir)
+    tagged = ev.filter(F.col("event_type").isin("purchase", "view")).select(
+        "event_id", "user_id", "ts_us", "event_type"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts_us"))
+    enriched = tagged.withColumn("last_view_us_raw", F.last(view_ts, ignorenulls=True).over(w))
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.coalesce(F.col("last_view_us_raw"), F.lit(-1)).alias("last_view_us"),
+            F.coalesce(F.col("ts_us") - F.col("last_view_us_raw"), F.lit(-1)).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "ts_daily_rate",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {DAY_US}) AS epoch_day, event_type, count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY epoch_day, event_type
+    """,
+)
+def daily_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    return (
+        ev.groupBy(F.expr(f"ts_us div {DAY_US}").alias("epoch_day"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("epoch_day", "event_type")
+    )
+
+
+@query(
+    "ts_moving_avg",
+    oracle=f"""
+    SELECT event_id, user_id,
+           {sql_round_half_up(
+               "avg(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id "
+               "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)", 4)} AS value_ma5
+    FROM events
+    WHERE user_id < 20
+    ORDER BY event_id
+    """,
+)
+def moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row moving average per user (frame-based window)."""
+    ev = _events_us(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(-4, 0)
+    return (
+        ev.filter(F.col("user_id") < 20)
+        .select("event_id", "user_id", round_half_up(F.avg("value").over(w), 4).alias("value_ma5"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "ts_first_last_per_user",
+    oracle="""
+    SELECT user_id,
+           min(epoch_us(ts)) AS first_us,
+           max(epoch_us(ts)) AS last_us,
+           arg_min(event_type, epoch_us(ts)) AS first_type,
+           arg_max(event_type, epoch_us(ts)) AS last_type,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def first_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_us(spark, sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts_us").alias("first_us"),
+            F.max("ts_us").alias("last_us"),
+            F.min_by("event_type", "ts_us").alias("first_type"),
+            F.max_by("event_type", "ts_us").alias("last_type"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

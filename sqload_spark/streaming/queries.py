@@ -1,1 +1,70 @@
-"""Structured Streaming registry entries (task 5)."""
+"""Structured Streaming registry entries.
+
+``stream_tumbling_counts`` shares its oracle with the batch tumbling query:
+running the stream to completion with availableNow + complete output is
+semantically the batch aggregation, which makes the streaming pipeline
+itself oracle-checkable. ``stream_session_window`` uses Spark's native
+session_window operator (rows-only; equivalence with the batch lag+cumsum
+sessionization is asserted in tests). Watermark/late-data behavior is
+exercised in tests/test_streaming.py with a two-batch file replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
+from sqload_spark.operators.timeseries import SESSION_GAP_US, TEN_MIN_US
+from sqload_spark.registry import query
+from sqload_spark.streaming.windows import run_to_memory, stream_events
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {TEN_MIN_US}) * 600 AS ws_sec,
+           event_type,
+           count(*) AS n_events,
+           {sql_round_half_up("sum(value)", 2)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY ws_sec, event_type
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → watermark → 10-min tumbling window per event type →
+    memory sink, run to completion. Identical result contract to the batch
+    ts_tumbling_window (same oracle)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value_raw"))
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        F.unix_timestamp(F.col("w.start")).alias("ws_sec"),
+        "event_type",
+        "n_events",
+        round_half_up(F.col("sum_value_raw"), 2).alias("sum_value"),
+    ).orderBy("ws_sec", "event_type")
+
+
+@query("stream_session_window")
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization: session_window(ts, 12h) per user.
+    Rows-only for the driver; tests assert it yields exactly the sessions
+    of the batch lag+cumsum formulation."""
+    ev = stream_events(spark, sf_dir)
+    agg = ev.groupBy(
+        F.session_window("ts", f"{SESSION_GAP_US // 1_000_000} seconds").alias("w"), "user_id"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        "user_id", "session_start_us", "session_end_us", "n_events"
+    ).orderBy("user_id", "session_start_us")

@@ -1,0 +1,61 @@
+"""Structured Streaming building blocks over the events table.
+
+The events parquet doubles as a replayable stream: ``readStream`` with an
+explicit schema (streaming sources never infer), nanosecond longs converted
+to microsecond timestamps, and one-shot execution via
+``trigger(availableNow=True)`` into a memory sink — which is exactly how a
+batch-equivalence check of a streaming pipeline is done. On a real cluster
+the same code points at a growing directory / Kafka source and runs
+continuously; nothing in the transformations changes.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sqload_spark.session import configure
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources/tables.py)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file-source stream with exact ts_us + a real timestamp."""
+    configure(spark)
+    # file streams need a directory basePath; glob to the single table file
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet*")
+    return (
+        raw.withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+
+
+def run_to_memory(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink and return the sink contents as a batch DataFrame."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sqload_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    spark = sdf.sparkSession
+    return spark.table(name)
