@@ -1,0 +1,93 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS], plus the reference generator's own published
+benchmark workload (10M rows of `key,bigint,int(11),varchar(50),double,date,
+bigint(20)` — /root/reference/README.md:37-47: 18.9 s single-threaded ≈
+529 K rows/s). Every query is forced end-to-end with a noop sink (full
+computation, no driver collect).
+
+Output: {"metric": "bench_total_sec", "value": <sum sec>, "unit": "sec",
+         "queries": {...per-query sec...}, "sf": <sf>, "gen_rows_per_sec": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sqload_spark import registry
+from sqload_spark.session import get_spark
+from sqload_spark.sources.generate import generate_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q_rollup_region_nation",
+    "q_window_topk_per_customer",
+    "q_window_running_revenue",
+    "ts_tumbling_window",
+    "ts_sessionize",
+    "ts_asof_join",
+    "text_top_terms_per_lang",
+    "text_quality_score",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "mm_decode_features",
+]
+
+GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42
+GEN_BENCH_ROWS = 10_000_000
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    registry.load_all()
+    spark = get_spark("sqload_spark_bench")
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+
+    # warm up the JVM/session + parquet datasource so q1 isn't charged for
+    # one-time init (codegen compiler, filesystem, footer readers)
+    spark.range(1000).count()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(10).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.monotonic()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    t0 = time.monotonic()
+    _force(generate_table(spark, GEN_BENCH_ROWS, GEN_BENCH_SPEC, seed=42))
+    gen_sec = time.monotonic() - t0
+    timings["gen_10m_reference_spec"] = round(gen_sec, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "gen_rows_per_sec": int(GEN_BENCH_ROWS / gen_sec),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -48,33 +48,44 @@ def shingle_hashes(text: Column, n: int = 3) -> Column:
     return F.transform(shingles(text, n), lambda s: F.xxhash64(s))
 
 
-def minhash_signature(hashes: Column, num_perm: int, seed: int = 0) -> list[Column]:
-    """MinHash signature: for each of `num_perm` hash families, the minimum
-    re-hash over the element set. Pure expressions — one pass, map-side."""
+def minhash_agg_exprs(hash_col: str, num_perm: int, seed: int = 0) -> list[Column]:
+    """MinHash signature as AGGREGATE expressions over exploded element-hash
+    rows: ``min(xxhash64(h, seed, i))`` per permutation.
+
+    Deliberately aggregation-based, not ``array_min(transform(...))`` per
+    column: array expressions would re-inline the whole shingle-construction
+    subtree once per permutation (64× recomputation — measured 205 s vs 5 s
+    on 5000 docs). Exploding once and letting partial aggregation combine
+    map-side keeps the cost at |shingles| × num_perm hashes."""
     return [
-        F.array_min(F.transform(hashes, lambda h: F.xxhash64(h, F.lit(seed), F.lit(i))))
-        .alias(f"mh{i}")
+        F.min(F.xxhash64(F.col(hash_col), F.lit(seed), F.lit(i))).alias(f"mh{i}")
         for i in range(num_perm)
     ]
 
 
-def simhash64(toks: Column) -> Column:
-    """64-bit SimHash of a token array: bit j is the sign of Σ(±1) over
-    token-hash bit j. Built as a sum over 64 bit-contribution expressions."""
-    th = F.transform(F.array_distinct(toks), lambda t: F.xxhash64(t))
+def simhash_bitsum_exprs(hash_col: str, n_bits: int = 64) -> list[Column]:
+    """SimHash bit-vote sums as AGGREGATE expressions over exploded
+    element-hash rows: Σ(±1) per bit position. Aggregation-based for the
+    same reason as minhash_agg_exprs — per-bit array folds would re-inline
+    the element-construction subtree 64×."""
+    return [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col(hash_col), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"bs{j}")
+        for j in range(n_bits)
+    ]
 
-    def bit_contrib(j: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
 
+def simhash_from_bitsums(prefix: str = "bs", n_bits: int = 64) -> Column:
+    """Assemble the signed-long SimHash from the per-bit vote sums."""
     out = F.lit(0).cast("long")
-    for j in range(64):
+    for j in range(n_bits):
         # bit 63 is the sign bit of the signed long carrier
         bit_value = (1 << j) if j < 63 else -(1 << 63)
-        bit_sum = F.aggregate(th, F.lit(0).cast("long"), bit_contrib(j))
         out = out.bitwiseOR(
-            F.when(bit_sum > 0, F.lit(bit_value).cast("long")).otherwise(F.lit(0).cast("long"))
+            F.when(F.col(f"{prefix}{j}") > 0, F.lit(bit_value).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     return out
 

@@ -22,9 +22,10 @@ from pyspark.sql import functions as F
 from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
 from sqload_spark.functions.text_funcs import (
     hamming64,
-    minhash_signature,
+    minhash_agg_exprs,
     shingle_hashes,
-    simhash64,
+    simhash_bitsum_exprs,
+    simhash_from_bitsums,
     tokens,
 )
 from sqload_spark.registry import query
@@ -99,9 +100,10 @@ _JACCARD_ORACLE = f"""
 """
 
 
-def _shingle_pairs(docs: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
-    """(doc_a, doc_b, jaccard_raw) via shingle-intersection join; optionally
-    restricted to a candidate-pair DataFrame (the LSH path)."""
+def _shingle_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard_raw) via the all-pairs shingle-intersection
+    join — exact but quadratic in colliding docs; the LSH query below is
+    the scale path."""
     sh = docs.select(
         "doc_id", F.explode(shingle_hashes(F.col("text"), 3)).alias("sh")
     )
@@ -112,8 +114,6 @@ def _shingle_pairs(docs: DataFrame, candidates: DataFrame | None = None) -> Data
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("i"))
     )
-    if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
     ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     return (
@@ -159,7 +159,8 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact query — which is why it can share the same oracle. Deterministic:
     all hashing is seeded xxhash64."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = docs.select("doc_id", *minhash_signature(shingle_hashes(F.col("text"), 3), NUM_PERM))
+    sh_rows = docs.select("doc_id", F.explode(shingle_hashes(F.col("text"), 3)).alias("h"))
+    sigs = sh_rows.groupBy("doc_id").agg(*minhash_agg_exprs("h", NUM_PERM))
     rows_per_band = NUM_PERM // LSH_BANDS
     bands = sigs.select(
         "doc_id",
@@ -188,9 +189,30 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    docs_pairs = _shingle_pairs(docs, candidates=candidates)
+    # Verify candidates ONLY: join each pair to the two per-doc shingle-hash
+    # sets and intersect the arrays row-wise. O(|candidates|) work — never
+    # the all-pairs shingle join (which is the quadratic blowup LSH exists
+    # to avoid; doing it here once cost 450 s at sf0.1).
+    sets_a = docs.select(
+        F.col("doc_id").alias("doc_a"), shingle_hashes(F.col("text"), 3).alias("sh_a")
+    )
+    sets_b = docs.select(
+        F.col("doc_id").alias("doc_b"), shingle_hashes(F.col("text"), 3).alias("sh_b")
+    )
+    verified = (
+        candidates.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b")))
+            ).alias("jaccard_raw"),
+        )
+    )
     return (
-        docs_pairs.filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        verified.filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", round_half_up(F.col("jaccard_raw"), 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
@@ -204,6 +226,17 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_MAX_HAMMING = 3  # 4 bands × 16 bits: hamming ≤ 3 ⇒ some band is clean
 
 
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sim): 64-bit SimHash over 3-gram shingle hashes — explode
+    once, aggregate 64 bit-vote sums map-side, assemble the signature."""
+    sh_rows = docs.select("doc_id", F.explode(shingle_hashes(F.col("text"), 3)).alias("h"))
+    return (
+        sh_rows.groupBy("doc_id")
+        .agg(*simhash_bitsum_exprs("h"))
+        .select("doc_id", simhash_from_bitsums().alias("sim"))
+    )
+
+
 @query("dedup_simhash")
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash over 3-gram shingle hashes (same similarity notion as
@@ -211,7 +244,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     by pigeonhole that finds EVERY pair with Hamming ≤ 3, which is the
     reported threshold. Deterministic."""
     docs = load_table(spark, sf_dir, "documents")
-    sims = docs.select("doc_id", simhash64(shingle_hashes(F.col("text"), 3)).alias("sim"))
+    sims = simhash_signatures(docs)
     bands = sims.select(
         "doc_id",
         "sim",
