@@ -1,0 +1,107 @@
+"""Source/sink ETL surface: CSV and JSON scans with explicit schemas, and
+the partitioned bulk-load round trip the sqload generator exists to feed.
+
+Each query materializes a derived copy of a test table in a scratch
+directory through the format under test, reads it back, and aggregates —
+so the oracle (running on the original parquet) proves the full
+write→scan→query path is lossless. Explicit schemas everywhere: schema
+inference is a second scan at scale and non-deterministic under dirty data.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqload_spark.registry import query
+from sqload_spark.sources.sinks import write_partitioned_parquet
+from sqload_spark.sources.tables import load_table
+
+_SCRATCH = os.path.join(tempfile.gettempdir(), "sqload_etl")
+
+ORDERS_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+)
+
+_ORDERS_AGG_ORACLE = """
+    SELECT o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+"""
+
+
+def _agg_orders(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query("src_csv_roundtrip", oracle=_ORDERS_AGG_ORACLE)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → CSV (ISO timestamps) → explicit-schema CSV scan → aggregate.
+    Proves the CSV source/sink pair preserves values exactly."""
+    od = load_table(spark, sf_dir, "orders")
+    path = os.path.join(_SCRATCH, "orders_csv")
+    (
+        od.write.mode("overwrite")
+        .option("header", "true")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(path)
+    )
+    back = (
+        spark.read.schema(ORDERS_SCHEMA)
+        .option("header", "true")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(path)
+    )
+    return _agg_orders(back)
+
+
+@query("src_json_roundtrip", oracle=_ORDERS_AGG_ORACLE)
+def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → JSON lines → explicit-schema JSON scan → aggregate."""
+    od = load_table(spark, sf_dir, "orders")
+    path = os.path.join(_SCRATCH, "orders_json")
+    od.write.mode("overwrite").json(path)
+    back = spark.read.schema(ORDERS_SCHEMA).json(path)
+    return _agg_orders(back)
+
+
+@query(
+    "etl_partitioned_bulk_load",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n_rows,
+           count(DISTINCT l_orderkey) AS n_orders,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def partitioned_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sqload ETL shape end-to-end: lineitem range-partitioned on the
+    order key (balanced, sorted part files — what a partitioned DB bulk
+    loader ingests) + hive-style directory partitioning on l_returnflag,
+    then a partition-pruned read-back aggregation. The oracle on the
+    original table proves the load is lossless."""
+    li = load_table(spark, sf_dir, "lineitem")
+    path = os.path.join(_SCRATCH, "lineitem_load")
+    write_partitioned_parquet(li, path, range_key="l_orderkey", partition_by=["l_returnflag"])
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,144 @@
+"""Statistical aggregates: stddev/variance/correlation/covariance, exact
+percentiles (linear interpolation — identical in Spark and DuckDB), median,
+approximate percentile sketches, ordered string aggregation, GROUPING SETS.
+
+All exact ops are oracle-checked; the sketch op is rows-only (engine-
+specific estimates) with its error bounded in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
+from sqload_spark.registry import query
+from sqload_spark.sources.tables import load_table, register_views
+
+
+@query(
+    "q_stats_moments",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_round_half_up("stddev_samp(l_extendedprice)", 4)} AS price_stddev,
+           {sql_round_half_up("var_samp(l_quantity)", 4)} AS qty_var,
+           {sql_round_half_up("corr(l_extendedprice, l_quantity)", 4)} AS price_qty_corr,
+           {sql_round_half_up("covar_samp(l_extendedprice, l_discount)", 4)} AS price_disc_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            round_half_up(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            round_half_up(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            round_half_up(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+            round_half_up(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("price_disc_covar"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_round_half_up("quantile_cont(l_extendedprice, 0.25)", 4)} AS price_p25,
+           {sql_round_half_up("quantile_cont(l_extendedprice, 0.5)", 4)} AS price_median,
+           {sql_round_half_up("quantile_cont(l_extendedprice, 0.75)", 4)} AS price_p75,
+           {sql_round_half_up("quantile_cont(l_extendedprice, 0.99)", 4)} AS price_p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (both engines use linear interpolation between
+    order statistics, so values agree bit-for-bit before rounding)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.99)))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("p"))
+        .select(
+            "l_returnflag",
+            round_half_up(F.col("p")[0], 4).alias("price_p25"),
+            round_half_up(F.col("p")[1], 4).alias("price_median"),
+            round_half_up(F.col("p")[2], 4).alias("price_p75"),
+            round_half_up(F.col("p")[3], 4).alias("price_p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("q_approx_percentile")
+def approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch (KLL-style) next to the exact value — the
+    100 TB path for quantiles (single pass, mergeable, no global sort).
+    Rows-only: estimates are engine-specific; error bounded in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", 0.5, 1000).alias("approx_median"),
+            F.percentile("l_extendedprice", 0.5).alias("exact_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS supplier_csv,
+           count(*) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    return (
+        su.join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("supplier_csv"),
+            F.count("*").alias("n_suppliers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY status, priority
+    """,
+)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL API (same Catalyst Expand
+    operator the rollup/cube DataFrame calls produce)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        ORDER BY status, priority
+        """
+    )

@@ -18,9 +18,7 @@ from sqload_spark.registry import query
 from sqload_spark.sources.tables import load_table
 
 
-@query(
-    "text_top_terms_per_lang",
-    oracle="""
+TOP_TERMS_ORACLE = """
     WITH terms AS (
       SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
     ), counted AS (
@@ -32,8 +30,10 @@ from sqload_spark.sources.tables import load_table
     )
     SELECT lang, term, n, rnk FROM ranked WHERE rnk <= 5
     ORDER BY lang, rnk
-    """,
-)
+"""
+
+
+@query("text_top_terms_per_lang", oracle=TOP_TERMS_ORACLE)
 def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = W.partitionBy("lang").orderBy(F.col("n").desc(), "term")
@@ -144,9 +144,7 @@ def langid_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_quality_score",
-    oracle=f"""
+QUALITY_ORACLE = f"""
     WITH feats AS (
       SELECT doc_id,
              len(string_split(text, ' ')) AS n_tokens,
@@ -166,8 +164,10 @@ def langid_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
                "+ 0.3 * least(n_tokens / 50.0, 1.0)", 4)} AS quality
     FROM feats
     ORDER BY doc_id
-    """,
-)
+"""
+
+
+@query("text_quality_score", oracle=QUALITY_ORACLE)
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / stopword / lexical-diversity quality features + a combined
     score — the standard cheap pre-filter in LLM data pipelines."""

@@ -28,12 +28,16 @@ ORACLES: dict[str, str] = {}
 
 _OPERATOR_MODULES = [
     "sqload_spark.operators.relational",
+    "sqload_spark.operators.stats",
     "sqload_spark.operators.text",
     "sqload_spark.operators.dedup",
     "sqload_spark.operators.similarity",
     "sqload_spark.operators.timeseries",
     "sqload_spark.operators.multimodal",
     "sqload_spark.operators.generator_queries",
+    "sqload_spark.operators.etl",
+    "sqload_spark.operators.udf_variants",
+    "sqload_spark.operators.skew_queries",
     "sqload_spark.streaming.queries",
 ]
 

@@ -1,0 +1,21 @@
+"""Error bounds for the sketch-based operators (the 100 TB paths for
+distinct counts and quantiles)."""
+
+from __future__ import annotations
+
+from sqload_spark import registry
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def test_approx_count_distinct_error(spark):
+    df = registry.QUERIES["q_approx_count_distinct"](spark, SF_DIR).toPandas()
+    rel_err = (df.approx_orders - df.exact_orders).abs() / df.exact_orders
+    assert (rel_err <= 0.05).all(), f"HLL rsd=0.02 blown: {rel_err.tolist()}"
+
+
+def test_approx_percentile_error(spark):
+    df = registry.QUERIES["q_approx_percentile"](spark, SF_DIR).toPandas()
+    rel_err = (df.approx_median - df.exact_median).abs() / df.exact_median
+    assert (rel_err <= 0.02).all(), f"approx_percentile off: {rel_err.tolist()}"
