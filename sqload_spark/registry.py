@@ -38,7 +38,9 @@ _OPERATOR_MODULES = [
     "sqload_spark.operators.etl",
     "sqload_spark.operators.udf_variants",
     "sqload_spark.operators.skew_queries",
+    "sqload_spark.operators.subqueries",
     "sqload_spark.streaming.queries",
+    "sqload_spark.streaming.stateful",
 ]
 
 _loaded = False
