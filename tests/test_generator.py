@@ -179,6 +179,36 @@ def test_different_seeds_differ(spark):
     assert [r.c0 for r in a] != [r.c0 for r in b]
 
 
+# --- uniformity (chi-square-loose, SURVEY.md §5.2) --------------------------
+
+
+def test_int_uniformity(spark):
+    """16 equal-width buckets over int32; chi² with df=15 at p≈0.001 is
+    37.7 — allow 60 for slack. Guards against a broken hash→range map."""
+    df = gen(spark, "int", rows=20_000, seed=3)
+    counts = (
+        df.selectExpr("floor((cast(c0 as double) + 2147483648.0) / 268435456.0) as b")
+        .groupBy("b")
+        .count()
+        .collect()
+    )
+    assert len(counts) == 16
+    expected = 20_000 / 16
+    chi2 = sum((r["count"] - expected) ** 2 / expected for r in counts)
+    assert chi2 < 60, f"int distribution skewed: chi2={chi2:.1f}"
+
+
+def test_varchar_charset_uniformity(spark):
+    """First-character frequency across the 62-char set stays near uniform."""
+    df = gen(spark, "varchar(10)", rows=20_000, seed=4)
+    counts = df.selectExpr("substring(c0, 1, 1) AS ch").groupBy("ch").count().collect()
+    assert len(counts) == 62
+    expected = 20_000 / 62
+    chi2 = sum((r["count"] - expected) ** 2 / expected for r in counts)
+    # df=61, p≈0.001 ⇒ ~99.6; allow 130
+    assert chi2 < 130, f"charset skewed: chi2={chi2:.1f}"
+
+
 # --- round trip -------------------------------------------------------------
 
 
