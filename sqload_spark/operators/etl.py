@@ -20,7 +20,8 @@ from sqload_spark.registry import query
 from sqload_spark.sources.sinks import write_partitioned_parquet
 from sqload_spark.sources.tables import load_table
 
-_SCRATCH = os.path.join(tempfile.gettempdir(), "sqload_etl")
+# process-unique so concurrent driver/test processes never collide on paths
+_SCRATCH = os.path.join(tempfile.gettempdir(), f"sqload_etl_{os.getpid()}")
 
 ORDERS_SCHEMA = (
     "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "

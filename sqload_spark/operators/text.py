@@ -225,6 +225,27 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_rolling_fingerprint")
+def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style fingerprints: hash every 4-token span, keep the 8
+    smallest span hashes per document. Near-duplicate documents share most
+    fingerprints, so grouping by exploded fingerprint yields candidate
+    clusters cheaply (constant output per doc → bounded shuffle at scale).
+    Rows-only (xxhash64 has no DuckDB twin); properties in tests."""
+    from sqload_spark.functions.text_funcs import rolling_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id", F.explode(rolling_fingerprints(tokens(F.col("text")))).alias("fp")
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.array_sort(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fp")
+    )
+
+
 @query(
     "text_md5_fingerprint",
     oracle="""

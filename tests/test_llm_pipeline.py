@@ -88,6 +88,19 @@ def test_ann_results_are_true_neighbors(results):
         assert (bf.loc[common] == joined.loc[common]).all()
 
 
+def test_rolling_fingerprint_clusters_neardups(spark, results):
+    """The strong near-dup pairs must co-occur in at least one fingerprint
+    bucket (shared 4-token spans ⇒ shared minimal span hashes)."""
+    clusters = registry.QUERIES["text_rolling_fingerprint"](spark, SF_DIR).toPandas()
+    co = set()
+    for ids in clusters.doc_ids:
+        ids = list(ids)
+        co.update((a, b) for i, a in enumerate(ids) for b in ids[i + 1 :])
+    strong = _pairset(results["dedup_ngram_jaccard"].query("jaccard >= 0.95"), "doc_a", "doc_b")
+    captured = len(strong & co) / len(strong)
+    assert captured >= 0.8, f"fingerprint clustering missed near-dups: {captured:.2f}"
+
+
 def test_mm_decode_deterministic_and_batched(spark):
     a = registry.QUERIES["mm_decode_features"](spark, SF_DIR).toPandas()
     b = registry.QUERIES["mm_decode_features"](spark, SF_DIR).toPandas()
