@@ -16,7 +16,7 @@ engine-stable half-up rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
@@ -108,7 +108,13 @@ def _shingle_pairs(docs: DataFrame) -> DataFrame:
         "doc_id", F.explode(shingle_hashes(F.col("text"), 3)).alias("sh")
     )
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # Semantics-preserving pruning: a shingle occurring in exactly one doc
+    # cannot contribute an intersection pair; dropping df=1 rows before the
+    # self-join removes the (dominant, near-unique) bulk of the shingle
+    # table. Per-doc totals `cnt` still count ALL shingles.
+    w_df = W.partitionBy("sh")
+    shared = sh.withColumn("_df", F.count("*").over(w_df)).filter(F.col("_df") > 1).drop("_df")
+    a, b = shared.alias("a"), shared.alias("b")
     inter = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))

@@ -30,6 +30,7 @@ _OPERATOR_MODULES = [
     "sqload_spark.operators.relational",
     "sqload_spark.operators.stats",
     "sqload_spark.operators.text",
+    "sqload_spark.operators.text_tfidf",
     "sqload_spark.operators.dedup",
     "sqload_spark.operators.similarity",
     "sqload_spark.operators.timeseries",
