@@ -26,3 +26,19 @@ def round_half_up(col: Column, n: int) -> Column:
 def sql_round_half_up(expr: str, n: int) -> str:
     scale = float(10**n)
     return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def exact_decimal_sum(col: Column, scale: int = 4, precision: int = 18) -> Column:
+    """Order-independent sum for fixed-decimal data: cast each value to
+    DECIMAL(p,s) (recovering the exact decimal the double approximates),
+    sum exactly, cast back to double.
+
+    Needed because floating sums are order-dependent: Spark's partial-agg
+    combine order vs DuckDB's can differ by an ulp, which flips a
+    subsequent rounding when the true sum sits on a .5 boundary (observed
+    on sums of 4-decimal price products)."""
+    return F.sum(col.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def sql_exact_decimal_sum(expr: str, scale: int = 4, precision: int = 18) -> str:
+    return f"CAST(sum(CAST(({expr}) AS DECIMAL({precision},{scale}))) AS DOUBLE)"

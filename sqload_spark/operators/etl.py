@@ -16,6 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sqload_spark.functions.rounding import round_half_up
 from sqload_spark.registry import query
 from sqload_spark.sources.sinks import write_partitioned_parquet
 from sqload_spark.sources.tables import load_table
@@ -30,7 +31,7 @@ ORDERS_SCHEMA = (
 
 _ORDERS_AGG_ORACLE = """
     SELECT o_orderstatus, count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -40,7 +41,7 @@ _ORDERS_AGG_ORACLE = """
 def _agg_orders(df: DataFrame) -> DataFrame:
     return (
         df.groupBy("o_orderstatus")
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n_orders"), round_half_up(F.sum("o_totalprice"), 2).alias("total"))
         .orderBy("o_orderstatus")
     )
 
@@ -81,7 +82,7 @@ def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, count(*) AS n_rows,
            count(DISTINCT l_orderkey) AS n_orders,
-           round(sum(l_extendedprice), 2) AS total_price
+           floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS total_price
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag
@@ -102,7 +103,7 @@ def partitioned_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_rows"),
             F.countDistinct("l_orderkey").alias("n_orders"),
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            round_half_up(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
         .orderBy("l_returnflag")
     )

@@ -6,7 +6,7 @@ whole-stage codegen.
 Every query here is paired with a DuckDB oracle (SQL in the ``@query``
 decorator). Determinism conventions (cross-engine hash compare):
 
-* double aggregates are ``round(..., 2)`` (sums) / ``round(..., 4)``
+* double aggregates are ``floor((...) * 100.0 + 0.5) / 100.0`` (sums) / ``floor((...) * 10000.0 + 0.5) / 10000.0``
   (averages) AFTER aggregating, in both engines;
 * every window / top-k ordering carries a unique-key tie-breaker;
 * computed columns share the exact alias between Spark and SQL.
@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from sqload_spark.functions.rounding import round_half_up
+from sqload_spark.functions.rounding import (
+    exact_decimal_sum,
+    round_half_up,
+    sql_exact_decimal_sum,
+)
 from sqload_spark.registry import query
 from sqload_spark.sources.tables import load_table
 
@@ -44,10 +48,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"),
+            round_half_up(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            round_half_up(exact_decimal_sum(disc_price, 4), 2).alias("sum_disc_price"),
+            round_half_up(exact_decimal_sum(disc_price * (1 + F.col("l_tax")), 6, 22), 2).alias(
+                "sum_charge"
+            ),
             round_half_up(F.avg("l_quantity"), 4).alias("avg_qty"),
             round_half_up(F.avg("l_extendedprice"), 4).alias("avg_price"),
             round_half_up(F.avg("l_discount"), 4).alias("avg_disc"),
@@ -61,10 +67,10 @@ query(
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                            AS sum_qty,
-           round(sum(l_extendedprice), 2)                                       AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+           floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0                                            AS sum_qty,
+           floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0                                       AS sum_base_price,
+           floor((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,4))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+           floor((CAST(sum(CAST((l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS DECIMAL(22,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_charge,
            floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0                     AS avg_qty,
            floor(avg(l_extendedprice) * 10000.0 + 0.5) / 10000.0                AS avg_price,
            floor(avg(l_discount) * 10000.0 + 0.5) / 10000.0                     AS avg_disc,
@@ -86,7 +92,7 @@ query(
     "q_filter_project",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity,
-           round(l_extendedprice * (1 - l_discount), 2) AS net_price
+           floor((l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS net_price
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
       AND l_quantity > 45
@@ -103,7 +109,7 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
-        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
+        round_half_up(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("net_price"),
     )
 
 
@@ -116,7 +122,7 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           floor((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,4))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue,
            o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -141,7 +147,11 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(od.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cu.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            round_half_up(
+                exact_decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2
+            ).alias("revenue")
+        )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -151,7 +161,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q5_region_revenue",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name, floor((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,4))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -187,7 +197,11 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            round_half_up(
+                exact_decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2
+            ).alias("revenue")
+        )
         .orderBy(F.col("revenue").desc(), "n_name")
     )
 
@@ -258,7 +272,7 @@ def anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(r_name, 'ALL') AS region_name,
            coalesce(n_name, 'ALL') AS nation_name,
-           round(sum(o_totalprice), 2) AS total_sales,
+           floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total_sales,
            count(*) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -279,7 +293,7 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
         .rollup("r_name", "n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("total_sales"),
             F.count("*").alias("n_orders"),
         )
         .select(
@@ -297,7 +311,7 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
+           floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
            count(*) AS n_items
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -308,7 +322,7 @@ def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n_items"))
+        .agg(round_half_up(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n_items"))
         .select(
             F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
             F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
@@ -325,7 +339,7 @@ def cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_mktsegment,
            count(DISTINCT c_nationkey) AS n_nations,
            count(*) AS n_customers,
-           round(sum(c_acctbal), 2) AS total_balance
+           floor((sum(c_acctbal)) * 100.0 + 0.5) / 100.0 AS total_balance
     FROM customer
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
@@ -338,7 +352,7 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("c_nationkey").alias("n_nations"),
             F.count("*").alias("n_customers"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            round_half_up(F.sum("c_acctbal"), 2).alias("total_balance"),
         )
         .orderBy("c_mktsegment")
     )
@@ -363,7 +377,7 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_having",
     oracle="""
-    SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty
+    SELECT l_suppkey, floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS total_qty
     FROM lineitem
     GROUP BY l_suppkey
     HAVING sum(l_quantity) > 15000
@@ -376,7 +390,7 @@ def having(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("_raw_qty"))
         .filter(F.col("_raw_qty") > 15000)
-        .select("l_suppkey", F.round(F.col("_raw_qty"), 2).alias("total_qty"))
+        .select("l_suppkey", round_half_up(F.col("_raw_qty"), 2).alias("total_qty"))
         .orderBy(F.col("total_qty").desc(), "l_suppkey")
     )
 
@@ -387,7 +401,7 @@ def having(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            count(*) AS n_orders,
            sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-           round(sum(CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0 END), 2) AS big_order_value
+           floor((sum(CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0 END)) * 100.0 + 0.5) / 100.0 AS big_order_value
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -400,7 +414,7 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_orders"),
             F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
-            F.round(
+            round_half_up(
                 F.sum(F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice")).otherwise(0.0)), 2
             ).alias("big_order_value"),
         )
@@ -412,9 +426,9 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot_status",
     oracle="""
     SELECT o_orderpriority,
-           round(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0), 2) AS F,
-           round(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0), 2) AS O,
-           round(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0), 2) AS P
+           floor((coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0)) * 100.0 + 0.5) / 100.0 AS F,
+           floor((coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0)) * 100.0 + 0.5) / 100.0 AS O,
+           floor((coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0)) * 100.0 + 0.5) / 100.0 AS P
     FROM orders
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -429,7 +443,7 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pv.select(
         "o_orderpriority",
-        *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 2).alias(c) for c in ("F", "O", "P")],
+        *[round_half_up(F.coalesce(F.col(c), F.lit(0.0)), 2).alias(c) for c in ("F", "O", "P")],
     ).orderBy("o_orderpriority")
 
 
@@ -494,10 +508,10 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_running_revenue",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           round(sum(l_extendedprice) OVER (
+           floor((sum(l_extendedprice) OVER (
                PARTITION BY l_suppkey
                ORDER BY l_shipdate, l_orderkey, l_linenumber
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_revenue
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS running_revenue
     FROM lineitem
     WHERE l_suppkey <= 10
     ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
@@ -516,7 +530,7 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_suppkey",
             "l_orderkey",
             "l_linenumber",
-            F.round(F.sum("l_extendedprice").over(w), 2).alias("running_revenue"),
+            round_half_up(F.sum("l_extendedprice").over(w), 2).alias("running_revenue"),
             "l_shipdate",
         )
         .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
@@ -679,7 +693,7 @@ def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS INT)    AS order_year,
            CAST(quarter(o_orderdate) AS INT) AS order_quarter,
            count(*)                          AS n_orders,
-           round(sum(o_totalprice), 2)       AS total_sales
+           floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0       AS total_sales
     FROM orders
     GROUP BY 1, 2
     ORDER BY order_year, order_quarter
@@ -692,7 +706,7 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("order_year"),
             F.quarter("o_orderdate").alias("order_quarter"),
         )
-        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total_sales"))
+        .agg(F.count("*").alias("n_orders"), round_half_up(F.sum("o_totalprice"), 2).alias("total_sales"))
         .orderBy("order_year", "order_quarter")
     )
 
@@ -701,10 +715,10 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_math_funcs",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           round(abs(l_extendedprice - 50000), 2)        AS price_dev,
-           round(sqrt(l_quantity), 4)                    AS qty_sqrt,
-           round(ln(l_extendedprice), 4)                 AS price_ln,
-           round(power(1 + l_discount, 2), 4)            AS disc_sq,
+           floor((abs(l_extendedprice - 50000)) * 100.0 + 0.5) / 100.0        AS price_dev,
+           floor((sqrt(l_quantity)) * 10000.0 + 0.5) / 10000.0                    AS qty_sqrt,
+           floor((ln(l_extendedprice)) * 10000.0 + 0.5) / 10000.0                 AS price_ln,
+           floor((power(1 + l_discount, 2)) * 10000.0 + 0.5) / 10000.0            AS disc_sq,
            CAST(floor(l_quantity / 10) AS BIGINT)        AS qty_bucket,
            CAST(l_orderkey % 7 AS BIGINT)                AS key_mod
     FROM lineitem
@@ -719,10 +733,10 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.round(F.abs(F.col("l_extendedprice") - 50000), 2).alias("price_dev"),
-            F.round(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
-            F.round(F.log(F.col("l_extendedprice")), 4).alias("price_ln"),
-            F.round(F.pow(1 + F.col("l_discount"), 2), 4).alias("disc_sq"),
+            round_half_up(F.abs(F.col("l_extendedprice") - 50000), 2).alias("price_dev"),
+            round_half_up(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
+            round_half_up(F.log(F.col("l_extendedprice")), 4).alias("price_ln"),
+            round_half_up(F.pow(1 + F.col("l_discount"), 2), 4).alias("disc_sq"),
             F.floor(F.col("l_quantity") / 10).cast("bigint").alias("qty_bucket"),
             (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),
         )

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sqload_spark.functions.skew import salted_agg, salted_join
+from sqload_spark.functions.rounding import round_half_up
 from sqload_spark.registry import query
 from sqload_spark.sources.tables import load_table
 
@@ -43,7 +44,7 @@ def salted_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_salted_join",
     oracle="""
     SELECT o_orderpriority, count(*) AS n_items,
-           round(sum(l_extendedprice), 2) AS total_price
+           floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS total_price
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
@@ -64,6 +65,6 @@ def salted_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy("o_orderpriority")
-        .agg(F.count("*").alias("n_items"), F.round(F.sum("l_extendedprice"), 2).alias("total_price"))
+        .agg(F.count("*").alias("n_items"), round_half_up(F.sum("l_extendedprice"), 2).alias("total_price"))
         .orderBy("o_orderpriority")
     )

@@ -121,7 +121,7 @@ def string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
            count(*) AS n_orders,
-           round(sum(o_totalprice), 2) AS total
+           floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     ORDER BY status, priority
@@ -136,7 +136,7 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total
+               floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         ORDER BY status, priority

@@ -45,7 +45,7 @@ def scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_in_subquery",
     oracle="""
     SELECT count(*) AS n_lineitems,
-           round(sum(l_extendedprice), 2) AS total
+           floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS total
     FROM lineitem
     WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
     """,
@@ -55,7 +55,7 @@ def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT count(*) AS n_lineitems,
-               round(sum(l_extendedprice), 2) AS total
+               floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS total
         FROM lineitem
         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         """
