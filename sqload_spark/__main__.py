@@ -46,6 +46,12 @@ def _csv_line(df):
 
 
 def main(argv: list[str] | None = None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    # reference parity: invoking with no arguments at all runs the default
+    # generation (100000 rows of the default spec — generate_csv.cpp:358-360)
+    if not argv:
+        argv = ["gen"]
     parser = argparse.ArgumentParser(prog="sqload_spark")
     sub = parser.add_subparsers(dest="command", required=True)
     gen = sub.add_parser("gen", help="generate synthetic rows")
