@@ -1,0 +1,133 @@
+"""Custom operator shapes Spark has no single primitive for, composed from
+built-ins: range (interval) join, hypertable-style multi-resolution rollup,
+and a hand-rolled Count-Min sketch as a groupBy composition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
+from sqload_spark.operators.timeseries import US_PER_SEC
+from sqload_spark.registry import query
+from sqload_spark.sources.tables import load_table
+
+# price bands for the range join — a literal dimension, broadcast by nature
+PRICE_BANDS = [
+    ("budget", 0.0, 10_000.0),
+    ("mid", 10_000.0, 50_000.0),
+    ("premium", 50_000.0, 90_000.0),
+    ("luxury", 90_000.0, 1e12),
+]
+
+
+@query(
+    "q_range_join_bands",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (
+      VALUES {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)}
+    )
+    SELECT band, count(*) AS n_items,
+           {sql_round_half_up("avg(l_quantity)", 4)} AS avg_qty
+    FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band
+    ORDER BY band
+    """,
+)
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join: fact rows against a banded
+    dimension on a non-equi predicate. Spark plans this as
+    BroadcastNestedLoopJoin when the band side is broadcast — the right
+    physical shape, since every fact row matches exactly one band and the
+    band table is tiny. (For two LARGE interval sets the composition is
+    bucketized overlap-join: assign both sides to fixed-width buckets,
+    equi-join on bucket, post-filter — same pattern as the IVF search.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_extendedprice") >= F.col("lo")) & (F.col("l_extendedprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_items"), round_half_up(F.avg("l_quantity"), 4).alias("avg_qty"))
+        .orderBy("band")
+    )
+
+
+@query(
+    "ts_multires_rollup",
+    oracle=f"""
+    WITH res(resolution, bucket_s) AS (VALUES ('1m', 60), ('10m', 600), ('1h', 3600))
+    SELECT resolution,
+           (epoch_us(ts) // (bucket_s::BIGINT * {US_PER_SEC})) * bucket_s AS ws_sec,
+           count(*) AS n_events,
+           {sql_round_half_up("sum(value)", 2)} AS sum_value
+    FROM events CROSS JOIN res
+    GROUP BY 1, 2
+    ORDER BY resolution, ws_sec
+    """,
+)
+def multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: one pass produces the
+    1-minute, 10-minute and 1-hour rollups together (explode the resolution
+    dimension, bucket, aggregate). At scale this materializes the rollup
+    hierarchy in a single shuffle instead of three scans; finer levels can
+    also be re-aggregated into coarser ones without touching raw data."""
+    ev = load_table(spark, sf_dir, "events").withColumn("ts_us", F.expr("ts_ns div 1000"))
+    res = spark.createDataFrame([("1m", 60), ("10m", 600), ("1h", 3600)], "resolution string, bucket_s long")
+    return (
+        ev.crossJoin(F.broadcast(res))
+        .groupBy(
+            "resolution",
+            (F.expr(f"ts_us div (bucket_s * {US_PER_SEC})") * F.col("bucket_s")).alias("ws_sec"),
+        )
+        .agg(F.count("*").alias("n_events"), round_half_up(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("resolution", "ws_sec")
+    )
+
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def count_min_table(df: DataFrame, key: str) -> DataFrame:
+    """Build a Count-Min sketch as a (depth × width) counts table: one
+    explode to depth rows per input, one groupBy. Mergeable (sum cells),
+    constant size, one pass — the sketch-as-composition pattern."""
+    rows = df.select(
+        F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("d"),
+        F.col(key).alias("k"),
+    ).select("d", F.pmod(F.xxhash64("k", "d"), F.lit(CMS_WIDTH)).alias("w"))
+    return rows.groupBy("d", "w").agg(F.count("*").alias("c"))
+
+
+@query("sketch_count_min")
+def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min estimates for the supplier keys 1..10 over lineitem, next
+    to exact counts. Rows-only (xxhash64 has no DuckDB twin); the CMS
+    guarantee (exact ≤ estimate ≤ exact + εN) is asserted in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cms = count_min_table(li, "l_suppkey")
+    probes = spark.range(1, 11).select(F.col("id").alias("probe_key"))
+    probe_cells = probes.select(
+        "probe_key",
+        F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("d"),
+    ).select("probe_key", "d", F.pmod(F.xxhash64(F.col("probe_key"), F.col("d")), F.lit(CMS_WIDTH)).alias("w"))
+    estimates = (
+        probe_cells.join(cms, ["d", "w"], "left")
+        .fillna(0, subset=["c"])
+        .groupBy("probe_key")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    exact = (
+        li.filter(F.col("l_suppkey").between(1, 10))
+        .groupBy(F.col("l_suppkey").alias("probe_key"))
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return (
+        estimates.join(exact, "probe_key", "left")
+        .fillna(0, subset=["exact_count"])
+        .orderBy("probe_key")
+    )

@@ -40,6 +40,7 @@ _OPERATOR_MODULES = [
     "sqload_spark.operators.udf_variants",
     "sqload_spark.operators.skew_queries",
     "sqload_spark.operators.subqueries",
+    "sqload_spark.operators.advanced",
     "sqload_spark.streaming.queries",
     "sqload_spark.streaming.stateful",
 ]

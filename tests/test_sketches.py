@@ -15,6 +15,15 @@ def test_approx_count_distinct_error(spark):
     assert (rel_err <= 0.05).all(), f"HLL rsd=0.02 blown: {rel_err.tolist()}"
 
 
+def test_count_min_guarantee(spark):
+    """CMS law: exact ≤ estimate ≤ exact + εN with ε = e/width (loose)."""
+    df = registry.QUERIES["sketch_count_min"](spark, SF_DIR).toPandas()
+    n_total = df.exact_count.sum() * 10  # lineitem has ~100 suppliers at sf0.01
+    assert (df.cms_estimate >= df.exact_count).all(), "CMS must never underestimate"
+    eps_n = 2.72 / 256 * max(n_total, 60000)
+    assert (df.cms_estimate - df.exact_count <= eps_n).all()
+
+
 def test_approx_percentile_error(spark):
     df = registry.QUERIES["q_approx_percentile"](spark, SF_DIR).toPandas()
     rel_err = (df.approx_median - df.exact_median).abs() / df.exact_median
