@@ -78,18 +78,23 @@ def _decode_stub(payload: bytes, fmt: str) -> dict:
     available in this container). Derives deterministic fake features from
     the bytes so the full pipeline is exercised end-to-end. Swap the body
     for e.g. ``PIL.Image.open(io.BytesIO(payload))`` in production."""
+    import numpy as np
+
     h = 0
     for b in payload[:64]:
         h = (h * 131 + b) & 0xFFFFFFFF
+    arr = np.frombuffer(payload, dtype=np.uint8)
     return {
         "width": 64 + (h % 512),
         "height": 64 + ((h >> 9) % 512),
-        "mean_byte": float(sum(payload) / len(payload)) if payload else 0.0,
+        "mean_byte": float(arr.mean()) if arr.size else 0.0,
         "n_frames": 1 if fmt != "webp" else 1 + (h % 4),
     }
 
 
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One pandas frame per Arrow batch; per-payload work is numpy-
+    vectorized inside the stub (a real decoder would be the hot loop)."""
     for pdf in batches:
         feats = [
             _decode_stub(payload, fmt)
