@@ -28,6 +28,7 @@ ORACLES: dict[str, str] = {}
 
 _OPERATOR_MODULES = [
     "sqload_spark.operators.relational",
+    "sqload_spark.operators.tpch_more",
     "sqload_spark.operators.stats",
     "sqload_spark.operators.text",
     "sqload_spark.operators.text_tfidf",
