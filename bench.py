@@ -57,10 +57,12 @@ def main() -> None:
     spark = get_spark("sqload_spark_bench")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
 
-    # warm up the JVM/session + parquet datasource so q1 isn't charged for
-    # one-time init (codegen compiler, filesystem, footer readers)
+    # warm up the JVM/session + parquet datasource + Python workers so the
+    # first measured query isn't charged for one-time init (codegen
+    # compiler, filesystem, footer readers, Arrow worker spawn)
     spark.range(1000).count()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(10).count()
+    _force(generate_table(spark, 100_000, GEN_BENCH_SPEC, seed=1, impl="arrow"))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -73,6 +75,11 @@ def main() -> None:
     _force(generate_table(spark, GEN_BENCH_ROWS, GEN_BENCH_SPEC, seed=42))
     gen_sec = time.monotonic() - t0
     timings["gen_10m_reference_spec"] = round(gen_sec, 3)
+
+    t0 = time.monotonic()
+    _force(generate_table(spark, GEN_BENCH_ROWS, GEN_BENCH_SPEC, seed=42, impl="arrow"))
+    arrow_sec = time.monotonic() - t0
+    timings["gen_10m_arrow_backend"] = round(arrow_sec, 3)
 
     total = round(sum(timings.values()), 3)
     print(
