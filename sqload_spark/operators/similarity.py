@@ -91,6 +91,31 @@ def topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(pairs)
 
 
+@query(
+    "sim_label_centroids",
+    oracle=f"""
+    SELECT label, dim,
+           {sql_round_half_up("avg(embedding[dim])", 6)} AS centroid_val
+    FROM embeddings, range(1, 9) t(dim)
+    GROUP BY label, dim
+    ORDER BY label, dim
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (first 8 dims): the vector-aggregate
+    building block of k-means / IVF training — posexplode + groupBy(label,
+    dim), one shuffle of (label × dim) cells regardless of corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("pos", "val")
+    ).filter(F.col("pos") < 8)
+    return (
+        exploded.groupBy("label", (F.col("pos") + 1).alias("dim"))
+        .agg(round_half_up(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"))
+        .orderBy("label", "dim")
+    )
+
+
 @query("sim_topk_hyperplane_lsh")
 def topk_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN. Candidates = vectors sharing ≥1 signature
