@@ -198,7 +198,11 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Verify candidates ONLY: join each pair to the two per-doc shingle-hash
     # sets and intersect the arrays row-wise. O(|candidates|) work — never
     # the all-pairs shingle join (which is the quadratic blowup LSH exists
-    # to avoid; doing it here once cost 450 s at sf0.1).
+    # to avoid; doing it here once cost 450 s at sf0.1). Note: we tried
+    # semi-joining docs to candidate ids before building the arrays, but
+    # every extra consumer of `candidates` re-executes the signature
+    # pipeline (no reuse without persist) — net 2× slower. Building the
+    # arrays corpus-wide keeps `candidates` single-use.
     sets_a = docs.select(
         F.col("doc_id").alias("doc_a"), shingle_hashes(F.col("text"), 3).alias("sh_a")
     )
