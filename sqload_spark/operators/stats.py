@@ -116,6 +116,40 @@ def string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_first_nth",
+    oracle="""
+    SELECT s_suppkey, s_nationkey,
+           first_value(s_name) OVER w AS richest,
+           nth_value(s_name, 2) OVER w AS second_richest,
+           last_value(s_name) OVER w AS poorest
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY s_suppkey
+    """,
+)
+def window_first_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    su = load_table(spark, sf_dir, "supplier")
+    w = (
+        W.partitionBy("s_nationkey")
+        .orderBy(F.col("s_acctbal").desc(), "s_suppkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return (
+        su.select(
+            "s_suppkey",
+            "s_nationkey",
+            F.first("s_name").over(w).alias("richest"),
+            F.nth_value("s_name", 2).over(w).alias("second_richest"),
+            F.last("s_name").over(w).alias("poorest"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
     "q_grouping_sets",
     oracle="""
     SELECT coalesce(o_orderstatus, 'ALL') AS status,

@@ -179,6 +179,11 @@ def test_different_seeds_differ(spark):
     assert [r.c0 for r in a] != [r.c0 for r in b]
 
 
+def test_decimal_digit_limit_raises(spark):
+    with pytest.raises(ValueError, match="decimal"):
+        gen(spark, "decimal(38,2)", rows=10).collect()
+
+
 # --- uniformity (chi-square-loose, SURVEY.md §5.2) --------------------------
 
 
