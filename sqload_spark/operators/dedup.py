@@ -229,6 +229,91 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup keep-list: connected components over the near-dup pair graph.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_keep_list",
+    oracle=f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   for i in range(1, len(t) - 1)])) AS sh
+      FROM toks
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT da, db FROM inter
+      JOIN cnt ca ON da = ca.doc_id
+      JOIN cnt cb ON db = cb.doc_id
+      WHERE i::DOUBLE / (ca.n + cb.n - i) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT da AS a, db AS b FROM pairs
+      UNION SELECT db, da FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS keep_doc_id
+    FROM reach GROUP BY a
+    ORDER BY doc_id
+    """,
+)
+def keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters → keep-list: connected components of the Jaccard
+    pair graph, each doc labeled with its component minimum (the canonical
+    survivor). Spark side is driver-coordinated iterative label propagation
+    (min-label to neighbors until fixpoint) — the iterative-algorithm
+    pattern; the oracle is a DuckDB recursive CTE computing min reachable
+    id, so even this is hash-checked. At 100 TB each iteration is one
+    shuffle on doc_id; near-dup components are tiny (pairs/triples), so
+    convergence takes 2-3 rounds."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        _shingle_pairs(docs)
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
+        "lbl", F.col("doc_id")
+    ).persist()
+    for _ in range(10):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("lbl").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select("doc_id", F.least(F.col("lbl"), F.coalesce(F.col("nmin"), F.col("lbl"))).alias("lbl"))
+            .persist()
+        )
+        changed = new_labels.join(
+            labels.withColumnRenamed("lbl", "old"), "doc_id"
+        ).filter(F.col("lbl") != F.col("old")).count()
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select("doc_id", F.col("lbl").alias("keep_doc_id")).orderBy("doc_id")
+    edges.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Near-dup: SimHash banding (rows-only; validated by property tests).
 # ---------------------------------------------------------------------------
 

@@ -43,7 +43,6 @@ def generate_table(
         num_partitions = spark.sparkContext.defaultParallelism
     base = spark.range(0, rows, 1, num_partitions)
     if impl == "arrow":
-        from sqload_spark.plans.planner import UPPER26  # noqa: F401  (docs parity)
         from sqload_spark.sources.generate_arrow import arrow_generator
 
         schema = ", ".join(
