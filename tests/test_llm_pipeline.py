@@ -104,9 +104,12 @@ def test_rolling_fingerprint_clusters_neardups(spark, results):
 def test_mm_decode_deterministic_and_batched(spark):
     a = registry.QUERIES["mm_decode_features"](spark, SF_DIR).toPandas()
     b = registry.QUERIES["mm_decode_features"](spark, SF_DIR).toPandas()
+    from sqload_spark.sources.tables import load_table
+
+    n_docs = load_table(spark, SF_DIR, "documents").count()
     assert a.equals(b)
     assert set(a.columns) == {"doc_id", "width", "height", "mean_byte", "n_frames"}
-    assert len(a) == 500 and a.doc_id.is_unique
+    assert len(a) == n_docs and a.doc_id.is_unique
     assert ((a.width >= 64) & (a.width < 576)).all()
     assert ((a.mean_byte > 0) & (a.mean_byte < 256)).all()
 
