@@ -400,7 +400,7 @@ def having(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            count(*) AS n_orders,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
            floor((sum(CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0 END)) * 100.0 + 0.5) / 100.0 AS big_order_value
     FROM orders
     GROUP BY o_orderpriority

@@ -15,7 +15,8 @@ from sqload_spark.sources.tables import load_table
 @query(
     "q_salted_agg",
     oracle="""
-    SELECT l_returnflag, count(*) AS n_rows, sum(CAST(l_quantity AS BIGINT)) AS total_qty
+    SELECT l_returnflag, count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag

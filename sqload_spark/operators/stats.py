@@ -170,7 +170,10 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,
                count(*) AS n_orders,
-               floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
+               -- 100.0D: in Spark SQL a bare 100.0 is a DECIMAL literal, and
+               -- floor() returns BIGINT, so BIGINT/DECIMAL would make this
+               -- column DecimalType vs the oracle's DOUBLE (driver hash fail).
+               floor((sum(o_totalprice)) * 100.0D + 0.5D) / 100.0D AS total
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         ORDER BY status, priority

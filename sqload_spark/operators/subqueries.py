@@ -55,7 +55,9 @@ def in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT count(*) AS n_lineitems,
-               floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS total
+               -- 100.0D: bare 100.0 is DECIMAL in Spark SQL; floor() is BIGINT,
+               -- and BIGINT/DECIMAL would yield DecimalType vs the oracle DOUBLE.
+               floor((sum(l_extendedprice)) * 100.0D + 0.5D) / 100.0D AS total
         FROM lineitem
         WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         """
@@ -123,7 +125,7 @@ def correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 10 AS k_bucket,
            count(*) AS n_events,
-           sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS k_sum
+           CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_sum
     FROM events
     GROUP BY 1
     ORDER BY k_bucket

@@ -52,9 +52,9 @@ def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS total_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            floor(avg(len(string_split(text, ' '))) * 10000.0 + 0.5) / 10000.0 AS avg_tokens,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            count(DISTINCT lang) AS n_langs
     FROM documents
     GROUP BY source
@@ -240,7 +240,12 @@ def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         fps.groupBy("fp")
-        .agg(F.count("*").alias("n_docs"), F.array_sort(F.collect_list("doc_id")).alias("doc_ids"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            # Scalar string, not array<bigint>: the correctness driver's pandas
+            # canonicalizer cannot sort/hash list cells.
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias("doc_ids"),
+        )
         .filter(F.col("n_docs") > 1)
         .orderBy("fp")
     )

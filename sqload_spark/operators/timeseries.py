@@ -108,8 +108,8 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ordered
     ), numbered AS (
       SELECT user_id, t, value,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY t
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, min(t) AS session_start_us, max(t) AS session_end_us,

@@ -12,6 +12,7 @@ from datetime import date, datetime
 from decimal import Decimal
 
 import duckdb
+import numpy as np
 import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -41,20 +42,26 @@ def duck():
 
 
 def canon_value(v) -> str:
-    """Canonical string for a cell so Spark/DuckDB results hash identically."""
+    """Canonical string for a cell so Spark/DuckDB results hash identically.
+
+    Type-tagged: int, float and Decimal canonicalize DIFFERENTLY on purpose.
+    The driver's hash gate is type-sensitive (int64 vs float64 vs Decimal all
+    hash apart even when numerically equal), and round 1 proved that collapsing
+    them locally hides exactly the failures the driver then reports
+    (VERDICT.md "What's wrong" #1-#5). Floats still go through %.12g to absorb
+    sub-ulp noise; ints stay exact at any magnitude."""
     if v is None:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, bool) or isinstance(v, np.bool_):
+        return f"b:{bool(v)}"
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
-            return "NaN"
-        # %.12g collapses sub-ulp noise while keeping 12 significant digits.
-        return f"{v:.12g}"
+            return "f:NaN"
+        return f"f:{v:.12g}"
     if isinstance(v, Decimal):
-        return f"{float(v):.12g}"
-    if isinstance(v, bool):
-        return str(v)
-    if isinstance(v, (int,)):
-        return str(v)
+        return f"dec:{v.normalize()}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
     if isinstance(v, datetime):
         return v.isoformat()
     if isinstance(v, date):

@@ -94,7 +94,7 @@ def test_rolling_fingerprint_clusters_neardups(spark, results):
     clusters = registry.QUERIES["text_rolling_fingerprint"](spark, SF_DIR).toPandas()
     co = set()
     for ids in clusters.doc_ids:
-        ids = list(ids)
+        ids = [int(x) for x in ids.split(",")]
         co.update((a, b) for i, a in enumerate(ids) for b in ids[i + 1 :])
     strong = _pairset(results["dedup_ngram_jaccard"].query("jaccard >= 0.95"), "doc_a", "doc_b")
     captured = len(strong & co) / len(strong)
