@@ -155,16 +155,15 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
-def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) signatures → 32 bands × 2 rows → bucket join → exact-
-    Jaccard verification of candidates only.
+def _lsh_verified_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard_raw) for every MinHash-LSH candidate pair,
+    with the TRUE (exact) Jaccard computed on candidates only.
 
-    With r=2, b=32 the candidate probability at the 0.5 threshold is
-    1-(1-0.5²)³² ≈ 0.9999, so the output provably-almost-surely equals the
-    exact query — which is why it can share the same oracle. Deterministic:
-    all hashing is seeded xxhash64."""
-    docs = load_table(spark, sf_dir, "documents")
+    This is the 100 TB near-dup pair miner: signatures are one map-side
+    pass, banding shuffles only (doc_id, band_hash), and exact verification
+    touches just same-bucket documents — never the all-pairs shingle join.
+    Shared by dedup_minhash_lsh (thresholded pairs) and dedup_keep_list
+    (connected-components edge source)."""
     sh_rows = docs.select("doc_id", F.explode(shingle_hashes(F.col("text"), 3)).alias("h"))
     sigs = sh_rows.groupBy("doc_id").agg(*minhash_agg_exprs("h", NUM_PERM))
     rows_per_band = NUM_PERM // LSH_BANDS
@@ -203,13 +202,18 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every extra consumer of `candidates` re-executes the signature
     # pipeline (no reuse without persist) — net 2× slower. Building the
     # arrays corpus-wide keeps `candidates` single-use.
+    # persist() experiment (round 2, sf0.1 × 3 runs): bands.persist()
+    # 6.0-8.9 s vs recompute 6.2-7.0 s — a wash locally (materialize cost ≈
+    # recompute savings on 32 cores), so we keep the simpler recompute. On a
+    # real cluster where the corpus scan is I/O-bound, persist the `bands`
+    # DataFrame (or write signatures once) before the self-join.
     sets_a = docs.select(
         F.col("doc_id").alias("doc_a"), shingle_hashes(F.col("text"), 3).alias("sh_a")
     )
     sets_b = docs.select(
         F.col("doc_id").alias("doc_b"), shingle_hashes(F.col("text"), 3).alias("sh_b")
     )
-    verified = (
+    return (
         candidates.join(sets_a, "doc_a")
         .join(sets_b, "doc_b")
         .select(
@@ -221,8 +225,21 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_raw"),
         )
     )
+
+
+@query("dedup_minhash_lsh", oracle=_JACCARD_ORACLE)
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) signatures → 32 bands × 2 rows → bucket join → exact-
+    Jaccard verification of candidates only.
+
+    With r=2, b=32 the candidate probability at the 0.5 threshold is
+    1-(1-0.5²)³² ≈ 0.9999, so the output provably-almost-surely equals the
+    exact query — which is why it can share the same oracle. Deterministic:
+    all hashing is seeded xxhash64."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        verified.filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        _lsh_verified_pairs(docs)
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", round_half_up(F.col("jaccard_raw"), 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
@@ -277,10 +294,16 @@ def keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern; the oracle is a DuckDB recursive CTE computing min reachable
     id, so even this is hash-checked. At 100 TB each iteration is one
     shuffle on doc_id; near-dup components are tiny (pairs/triples), so
-    convergence takes 2-3 rounds."""
+    convergence takes 2-3 rounds.
+
+    Edge source is the MinHash-LSH candidate miner (the scale path), NOT
+    the all-pairs shingle join — a production keep-list must not reintroduce
+    the quadratic blowup LSH exists to avoid. Same answer, same oracle:
+    with r=2,b=32 the candidate set provably-almost-surely contains every
+    ≥0.5-Jaccard pair."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = (
-        _shingle_pairs(docs)
+        _lsh_verified_pairs(docs)
         .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b")
     )
@@ -380,9 +403,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "dedup_embedding_cosine",
-    oracle=f"""
+_EMB_COSINE_ORACLE = f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {sql_round_half_up(
                "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])", 4)} AS cos_sim
@@ -390,9 +411,22 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE a.vec_id < b.vec_id
       AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {COSINE_DUP_THRESHOLD}
     ORDER BY vec_a, vec_b
-    """,
-)
+"""
+
+# Hyperplane banding for cosine pair mining: 64 seeded planes, 2 bits/band ×
+# 32 bands. For a pair at the 0.35 threshold (θ≈69.7°) a plane agrees with
+# probability 1-θ/π ≈ 0.613, so P(miss) = (1-0.613²)³² ≈ 3e-7 per pair —
+# the candidate set provably-almost-surely contains every qualifying pair,
+# which is why the banded query can share the exact oracle.
+EMB_N_PLANES = 64
+EMB_BITS_PER_BAND = 2
+EMB_BANDS = EMB_N_PLANES // EMB_BITS_PER_BAND
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_COSINE_ORACLE)
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine near-dup mining — the small-corpus baseline /
+    verifier. The scale path is dedup_embedding_cosine_banded below."""
     from sqload_spark.functions.vectors import cosine, to_double_array
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -407,6 +441,71 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cos_raw"),
         )
+        .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", round_half_up(F.col("cos_raw"), 4).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query("dedup_embedding_cosine_banded", oracle=_EMB_COSINE_ORACLE)
+def embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-banded embedding near-dup pairs: signature map-side, band
+    self-join mines candidates, exact cosine re-ranks candidates only — the
+    same shape as MinHash-LSH, applied to cosine space. Shares the exact
+    all-pairs oracle (recall math at EMB_N_PLANES above).
+
+    Honest scale note: pruning power is set by the angular contrast between
+    qualifying pairs and the background. At this corpus's low threshold
+    (0.35, barely off the random-pair 90°) 2-bit bands keep recall ≈ 1 but
+    prune modestly; with a high-similarity dedup threshold (0.8+) the same
+    operator runs more bits per band and prunes aggressively. The knob is
+    EMB_BITS_PER_BAND — the plan shape (band shuffle + candidate-only
+    verification) is what survives 100 TB, not any fixed constant."""
+    from sqload_spark.functions.vectors import cosine, dot, to_double_array
+
+    rng = __import__("numpy").random.RandomState(23)
+    planes = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(rng.randn(EMB_N_PLANES, 64))],
+        "plane int, p array<double>",
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    # Signature via broadcast-cross-join + aggregate, NOT 64 inline dot-fold
+    # expressions (Catalyst re-inlines those into a pathological codegen
+    # tree). One map-side pass: each row meets the 64 broadcast planes,
+    # band values assemble in a (vec_id, band) groupBy — rows out are
+    # n_vectors × EMB_BANDS, constant bytes per vector.
+    band_rows = (
+        emb.join(F.broadcast(planes))
+        .select(
+            "vec_id",
+            (F.col("plane") / EMB_BITS_PER_BAND).cast("int").alias("band"),
+            (
+                F.when(dot(F.col("v"), F.col("p")) > 0, 1).otherwise(0)
+                * F.expr(f"shiftleft(1, plane % {EMB_BITS_PER_BAND})")
+            ).alias("bit"),
+        )
+        .groupBy("vec_id", "band")
+        .agg(F.sum("bit").alias("bv"))
+    )
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
+    return (
+        candidates.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos_raw", cosine(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", round_half_up(F.col("cos_raw"), 4).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
