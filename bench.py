@@ -71,6 +71,7 @@ def main() -> None:
         _force(fn(spark, SF_DIR))
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # Default path (impl="auto" picks arrow for this string-heavy spec).
     t0 = time.monotonic()
     _force(generate_table(spark, GEN_BENCH_ROWS, GEN_BENCH_SPEC, seed=42))
     gen_sec = time.monotonic() - t0
@@ -80,6 +81,10 @@ def main() -> None:
     _force(generate_table(spark, GEN_BENCH_ROWS, GEN_BENCH_SPEC, seed=42, impl="arrow"))
     arrow_sec = time.monotonic() - t0
     timings["gen_10m_arrow_backend"] = round(arrow_sec, 3)
+
+    t0 = time.monotonic()
+    _force(generate_table(spark, GEN_BENCH_ROWS, GEN_BENCH_SPEC, seed=42, impl="expr"))
+    timings["gen_10m_expr_backend"] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -68,7 +68,13 @@ def _decimal_expr(id_col: Column, spec: ColumnSpec, seed: int, i: int) -> Column
     return text.cast(f"decimal({p},{s})")
 
 
-def column_expr(spec: ColumnSpec, seed: int, i: int, now_epoch: int | None = None) -> Column:
+def column_expr(
+    spec: ColumnSpec,
+    seed: int,
+    i: int,
+    now_epoch: int | None = None,
+    blob_binary: bool = False,
+) -> Column:
     """One generator Column for column `i` of the table, over `spark.range`'s id."""
     id_col = F.col("id")
     t = spec.type
@@ -97,6 +103,16 @@ def column_expr(spec: ColumnSpec, seed: int, i: int, now_epoch: int | None = Non
         return random_string(id_col, spec.length, UPPER26, seed, i)
     if t in ("varchar", "varchar2", "nvarchar2"):
         return random_string(id_col, spec.length, ALNUM62, seed, i)
+    if t == "blob" and blob_binary:
+        # BinaryType mode (SURVEY.md §1.3 option): 1-256 random bytes.
+        # 32 full-width hashes hex-concatenated then unhex'd — 256 bytes of
+        # uniform entropy, truncated to the drawn length. Parquet/multimodal
+        # pipelines want real binary; the CSV sink keeps the string mode.
+        length = uniform_long(id_col, 1, 256, seed, i, "len")
+        hexstr = F.concat(
+            *[F.lpad(F.hex(hash64(id_col, seed, i, "blob", h)), 16, "0") for h in range(32)]
+        )
+        return F.unhex(hexstr).substr(F.lit(1), length.cast("int"))
     if t in ("text", "blob"):
         length = uniform_long(id_col, 1, 256, seed, i, "len")
         return random_string(id_col, length, ALNUM62, seed, i)
@@ -139,10 +155,12 @@ def column_expr(spec: ColumnSpec, seed: int, i: int, now_epoch: int | None = Non
     return F.lit("")
 
 
-def plan_columns(specs: list[ColumnSpec], seed: int = 0) -> list[Column]:
+def plan_columns(
+    specs: list[ColumnSpec], seed: int = 0, blob_binary: bool = False
+) -> list[Column]:
     """All generator columns, named c0..c{n-1} in spec order."""
     now_epoch = int(time.time())
     return [
-        column_expr(spec, seed, i, now_epoch).alias(f"c{i}")
+        column_expr(spec, seed, i, now_epoch, blob_binary=blob_binary).alias(f"c{i}")
         for i, spec in enumerate(specs)
     ]

@@ -244,3 +244,27 @@ def test_partitioned_parquet_write(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 300
     assert back.select(F.countDistinct("c0")).first()[0] == 300
+
+
+def test_blob_binary_mode(spark, tmp_path):
+    """blob_binary=True maps blob to BinaryType (SURVEY §1.3 option): real
+    bytes, length law 1-256, deterministic, parquet round-trip intact."""
+    df = generate_table(spark, 300, "key,blob", seed=7, num_partitions=4, blob_binary=True)
+    assert dict(df.dtypes)["c1"] == "binary"
+    lens = df.select(F.length("c1").alias("n")).agg(
+        F.min("n"), F.max("n"), F.count("*")
+    ).first()
+    assert 1 <= lens[0] and lens[1] <= 256 and lens[2] == 300
+    out = str(tmp_path / "blob_pq")
+    df.write.parquet(out)
+    back = spark.read.parquet(out)
+    assert dict(back.dtypes)["c1"] == "binary"
+    a = {r.c0: bytes(r.c1) for r in df.collect()}
+    b = {r.c0: bytes(r.c1) for r in back.collect()}
+    assert a == b
+    # determinism: same seed regenerates identical bytes at other parallelism
+    df2 = generate_table(spark, 300, "key,blob", seed=7, num_partitions=2, blob_binary=True)
+    c = {r.c0: bytes(r.c1) for r in df2.collect()}
+    assert a == c
+    # string mode (default) is unchanged
+    assert dict(generate_table(spark, 10, "blob", seed=7).dtypes)["c0"] == "string"
