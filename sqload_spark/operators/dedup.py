@@ -301,7 +301,13 @@ def keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quadratic blowup LSH exists to avoid. Same answer, same oracle:
     with r=2,b=32 the candidate set provably-almost-surely contains every
     ≥0.5-Jaccard pair."""
-    docs = load_table(spark, sf_dir, "documents")
+    return component_labels(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def component_labels(docs: DataFrame) -> DataFrame:
+    """(doc_id, keep_doc_id) for every doc in a ≥0.5-Jaccard near-dup pair:
+    connected components by min-label propagation over LSH-mined edges.
+    Shared by dedup_keep_list and the leakage-safe split (sampling.py)."""
     pairs = (
         _lsh_verified_pairs(docs)
         .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
@@ -331,7 +337,7 @@ def keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    out = labels.select("doc_id", F.col("lbl").alias("keep_doc_id")).orderBy("doc_id")
+    out = labels.select("doc_id", F.col("lbl").alias("keep_doc_id"))
     edges.unpersist()
     return out
 

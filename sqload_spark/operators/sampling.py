@@ -1,0 +1,254 @@
+"""Deterministic sampling / mixing / chunking / splitting over `documents` —
+the training-data-curation operators a 100 TB pipeline runs after dedup.
+
+Every sampling decision is a pure function of (doc_id, salt) via md5, never
+``F.rand()``: the sample is reproducible at any parallelism, re-runnable
+incrementally (a new shard of the corpus doesn't change old decisions), and
+— because Spark and DuckDB agree bit-for-bit on md5 of the same string —
+every query here is hash-checkable against a SQL oracle. The keep-decision
+is map-side: a Bernoulli hash-sample adds ZERO shuffles to a scan.
+
+u(doc) = first 8 md5 hex digits as a uniform double in [0,1); keep iff
+u < rate. Modulo-bias-free to 2^-32.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sqload_spark.operators.dedup import component_labels
+from sqload_spark.registry import query
+from sqload_spark.sources.tables import load_table
+
+SAMPLE_RATE = 0.2
+TEST_SHARE = 0.25
+
+# Per-source stratified rates: even-numbered sources kept at 50%, odd at
+# 10% — the "oversample the good source" shape.
+STRAT_EVEN, STRAT_ODD = 0.5, 0.1
+
+
+def _u(id_col: Column, salt: str) -> Column:
+    """Uniform [0,1) double from md5(salt|id) — identical in DuckDB via
+    the _u_sql fragment below."""
+    hex8 = F.substring(F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string"))), 1, 8)
+    return F.conv(hex8, 16, 10).cast("bigint").cast("double") / F.lit(float(1 << 32))
+
+
+def _u_sql(id_expr: str, salt: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{salt}|' || CAST({id_expr} AS VARCHAR)), 1, 8))::BIGINT"
+        f" / 4294967296.0)"
+    )
+
+
+@query(
+    "q_sample_hash",
+    oracle=f"""
+    SELECT doc_id, source
+    FROM documents
+    WHERE {_u_sql("doc_id", "sample1")} < {SAMPLE_RATE}
+    ORDER BY doc_id
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli sample at SAMPLE_RATE: one scan, a filter on
+    md5(doc_id), no shuffle (the ORDER BY is presentation-only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(_u(F.col("doc_id"), "sample1") < SAMPLE_RATE)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN {_u_sql("doc_id", "strat1")} <
+                         CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+                              THEN {STRAT_EVEN} ELSE {STRAT_ODD} END
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Bernoulli rates (even-numbered sources 50%, odd 10%) —
+    the keep-decision stays map-side; only the reporting aggregate
+    shuffles (once, on source)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.when(
+        F.substring(F.col("source"), 4, 10).cast("bigint") % 2 == 0, STRAT_EVEN
+    ).otherwise(STRAT_ODD)
+    kept = F.when(_u(F.col("doc_id"), "strat1") < rate, 1).otherwise(0)
+    return (
+        docs.groupBy("source")
+        .agg(F.count("*").alias("n_total"), F.sum(kept).cast("bigint").alias("n_sampled"))
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_mix_rebalance",
+    oracle=f"""
+    WITH stats AS (
+      SELECT lang, count(*) AS cnt,
+             sum(count(*)) OVER () AS total,
+             count(*) OVER () AS n_langs
+      FROM documents GROUP BY lang
+    ), rates AS (
+      SELECT lang, cnt,
+             least(1.0, (CAST(total AS DOUBLE) / n_langs) / cnt) AS keep_rate
+      FROM stats
+    )
+    SELECT d.lang,
+           min(r.cnt) AS n_before,
+           CAST(sum(CASE WHEN {_u_sql("d.doc_id", "mix1")} < r.keep_rate
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+)
+def mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the corpus toward a uniform language mix: per-lang keep
+    rate = min(1, target_share/actual_share), then the same deterministic
+    hash sample. The rate table is one tiny row-per-language aggregate,
+    broadcast back against the scan — data rows never shuffle for the
+    keep-decision itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_all = W.partitionBy()
+    rates = (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "lang",
+            "cnt",
+            F.least(
+                F.lit(1.0),
+                (F.sum("cnt").over(w_all).cast("double") / F.count("*").over(w_all))
+                / F.col("cnt"),
+            ).alias("keep_rate"),
+        )
+    )
+    kept = F.when(_u(F.col("doc_id"), "mix1") < F.col("keep_rate"), 1).otherwise(0)
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min("cnt").alias("n_before"),
+            F.sum(kept).cast("bigint").alias("n_after"),
+        )
+        .orderBy("lang")
+    )
+
+
+CHUNK_TOKENS = 128
+CHUNK_STRIDE = 64
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(s.start / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           least({CHUNK_TOKENS}, len(t) - s.start) AS chunk_len,
+           md5(array_to_string(t[s.start + 1 : s.start + least({CHUNK_TOKENS}, len(t) - s.start)], ' ')) AS chunk_fp
+    FROM toks, LATERAL unnest(range(0, len(t), {CHUNK_STRIDE})) s(start)
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking for sequence training: 128-token windows at
+    stride 64 (50% overlap). explode(sequence) + slice — expression-only,
+    rows out ≈ tokens/stride, no Python. chunk_fp is the md5 of the chunk
+    text so the oracle hash-checks actual content, not just shapes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    chunk_len = F.least(F.lit(CHUNK_TOKENS), F.size("t") - F.col("start"))
+    return (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(0), F.size("t") - 1, F.lit(CHUNK_STRIDE))).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            chunk_len.cast("bigint").alias("chunk_len"),
+            F.md5(F.array_join(F.slice(F.col("t"), F.col("start") + 1, chunk_len), " ")).alias("chunk_fp"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query(
+    "q_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   for i in range(1, len(t) - 1)])) AS sh
+      FROM toks
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT da, db FROM inter
+      JOIN cnt ca ON da = ca.doc_id
+      JOIN cnt cb ON db = cb.doc_id
+      WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5
+    ),
+    edges AS (
+      SELECT da AS a, db AS b FROM pairs
+      UNION SELECT db, da FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS keep_doc_id
+      FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           coalesce(c.keep_doc_id, d.doc_id) AS cluster_id,
+           CASE WHEN {_u_sql("coalesce(c.keep_doc_id, d.doc_id)", "split1")} < {TEST_SHARE}
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split that CANNOT leak near-duplicates across the
+    boundary: the split decision hashes the near-dup CLUSTER id (connected
+    components over LSH-mined ≥0.5-Jaccard pairs), so every member of a
+    cluster lands on the same side. Singleton docs are their own cluster.
+    This is the split a training pipeline must use after dedup — splitting
+    on doc_id leaks paraphrases of training docs into eval."""
+    docs = load_table(spark, sf_dir, "documents")
+    comps = component_labels(docs)
+    clustered = docs.select("doc_id").join(comps, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("keep_doc_id"), F.col("doc_id")).alias("cluster_id")
+    )
+    return clustered.select(
+        "doc_id",
+        "cluster_id",
+        F.when(_u(F.col("cluster_id"), "split1") < TEST_SHARE, "test")
+        .otherwise("train")
+        .alias("split"),
+    ).orderBy("doc_id")

@@ -40,6 +40,7 @@ _OPERATOR_MODULES = [
     "sqload_spark.operators.etl",
     "sqload_spark.operators.udf_variants",
     "sqload_spark.operators.skew_queries",
+    "sqload_spark.operators.sampling",
     "sqload_spark.operators.subqueries",
     "sqload_spark.operators.advanced",
     "sqload_spark.streaming.queries",
@@ -77,11 +78,12 @@ _PRIORITY = [
     # -- round-1 red rows, fixed this round ---------------------------------
     "q_conditional_agg", "q_grouping_sets", "text_token_stats",
     "text_rolling_fingerprint",
-    # -- flagship + scale-critical, keep inside the window ------------------
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "dedup_exact_groups", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_keep_list",
-    "q_topk_orders", "q_window_rank_dense",
+    # -- new in round 2 (training-data curation) ----------------------------
+    "q_sample_hash", "q_sample_stratified", "q_mix_rebalance",
+    "q_chunk_documents", "q_split_leakage_safe",
+    # -- scale-critical queries whose implementation changed this round -----
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_keep_list",
+    "q1_pricing_summary",
 ]
 
 

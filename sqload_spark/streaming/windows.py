@@ -59,3 +59,44 @@ def run_to_memory(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
     query.awaitTermination()
     spark = sdf.sparkSession
     return spark.table(name)
+
+
+def run_micro_batches(
+    sdf: DataFrame,
+    min_batches: int = 3,
+    interval: str = "1 second",
+    output_mode: str = "update",
+    timeout_sec: float = 120.0,
+) -> tuple[DataFrame, list[dict]]:
+    """Run a streaming DataFrame under a REAL periodic trigger
+    (processingTime=interval) until at least `min_batches` micro-batches
+    have committed, then stop. Returns (sink contents, progress list) so
+    callers can assert incremental/latency behavior — the piece an
+    availableNow one-shot replay can't exercise. Used with unbounded
+    sources (rate); see tests/test_streaming.py."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sqload_ckpt_"))
+        .trigger(processingTime=interval)
+        .start()
+    )
+    import time as _time
+
+    deadline = _time.time() + timeout_sec
+    try:
+        while _time.time() < deadline:
+            done = [p for p in query.recentProgress if p["numInputRows"] > 0]
+            if len(done) >= min_batches:
+                break
+            _time.sleep(0.25)
+        else:
+            raise TimeoutError(f"fewer than {min_batches} micro-batches committed")
+    finally:
+        progress = [dict(p) for p in query.recentProgress]
+        query.stop()
+        query.awaitTermination()
+    spark = sdf.sparkSession
+    return spark.table(name), progress

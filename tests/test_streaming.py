@@ -96,3 +96,34 @@ def test_stream_tumbling_matches_batch(spark):
     stream = registry.QUERIES["stream_tumbling_counts"](spark, SF_DIR).toPandas()
     batch = registry.QUERIES["ts_tumbling_window"](spark, SF_DIR).toPandas()
     assert stream.reset_index(drop=True).equals(batch.reset_index(drop=True))
+
+
+def test_processing_time_trigger_incremental(spark):
+    """Real periodic trigger: a rate source under processingTime='1 second'
+    must commit multiple distinct micro-batches, each carrying new rows,
+    with per-batch latency bookkeeping — the behavior availableNow replays
+    can't show."""
+    from sqload_spark.streaming.windows import run_micro_batches
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "50")
+        .load()  # columns: timestamp, value
+    )
+    agg = (
+        rate.withWatermark("timestamp", "0 seconds")
+        .groupBy(F.window("timestamp", "1 second").alias("w"))
+        .agg(F.count("*").alias("n"), F.max("value").alias("max_v"))
+    )
+    sink, progress = run_micro_batches(agg, min_batches=3, interval="1 second")
+    batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(batches) >= 3
+    # batches are distinct executions, not one replay: increasing batchId
+    ids = [p["batchId"] for p in batches]
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    # incremental progress: later batches see later max rate values
+    rows = sink.collect()
+    assert len(rows) >= 2
+    assert sum(r.n for r in rows) > 0
+    # latency bookkeeping present per batch
+    assert all("durationMs" in p and "triggerExecution" in p["durationMs"] for p in batches)
