@@ -107,3 +107,55 @@ def partitioned_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "etl_jdbc_bulk_load",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_custkeys,
+           floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def jdbc_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL-database bulk-load round trip: orders → JDBC batched insert
+    into embedded Derby (4 writer partitions — a bulk load opens O(loader
+    slots) connections, not O(cores)) → partitioned JDBC read-back
+    (parallel range queries on o_orderkey) → aggregate. The oracle on the
+    original parquet proves the database round trip is lossless. Against a
+    server RDBMS (MySQL/OceanBase/Postgres) only the url/driver change;
+    Derby is what this container has. createTableColumnTypes pins VARCHAR
+    (Derby's default Spark mapping for strings is CLOB, which can't be
+    compared/grouped server-side)."""
+    from sqload_spark.sources.sinks import read_jdbc_partitioned, write_jdbc
+
+    url = f"jdbc:derby:{_SCRATCH}/derby_db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    write_jdbc(
+        od,
+        url,
+        "orders_load",
+        mode="overwrite",
+        num_partitions=4,
+        createTableColumnTypes="o_orderstatus VARCHAR(1)",
+        **props,
+    )
+    lo, hi = od.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    back = read_jdbc_partitioned(
+        spark, url, "orders_load", "o_orderkey", lo, hi + 1, 8, **props
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_custkeys"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -252,3 +252,55 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("train")
         .alias("split"),
     ).orderBy("doc_id")
+
+
+PACK_BUDGET = 1024  # tokens per training block
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, source, n,
+             sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM toks
+    )
+    SELECT source,
+           CAST((cum - n) // {PACK_BUDGET} AS BIGINT) AS block_id,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS n_tokens
+    FROM pos
+    GROUP BY source, block_id
+    ORDER BY source, block_id
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: concatenate each source's docs (in
+    deterministic doc_id order) into a token stream and cut fixed
+    PACK_BUDGET-token blocks; a doc belongs to the block where it starts
+    (GPT-style packing with boundary crossing). Emits the packing manifest
+    (docs and tokens starting per block). Partitioning by source keeps the
+    running sum parallel — one window per source stream, never a global
+    single-reducer cumsum; at 100 TB the streams are files/shards and the
+    same two-level (per-shard cumsum + shard offset) plan applies."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    pos = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).alias("n"),
+    ).withColumn("cum", F.sum("n").over(w))
+    return (
+        pos.select(
+            "source",
+            F.floor((F.col("cum") - F.col("n")) / PACK_BUDGET).alias("block_id"),
+            "n",
+        )
+        .groupBy("source", "block_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").cast("bigint").alias("n_tokens"))
+        .orderBy("source", "block_id")
+    )

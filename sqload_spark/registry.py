@@ -71,6 +71,7 @@ _PRIORITY = [
     "dedup_simhash", "dedup_embedding_cosine", "dedup_embedding_cosine_banded",
     "gen_default_table", "gen_all_types_table", "gen_keys_law",
     "src_csv_roundtrip", "src_json_roundtrip", "etl_partitioned_bulk_load",
+    "etl_jdbc_bulk_load",
     "text_quality_pandas_udf", "text_top_terms_applyinpandas",
     "mm_payload_stats", "mm_decode_features",
     "stream_tumbling_counts", "stream_session_window",
@@ -80,10 +81,9 @@ _PRIORITY = [
     "text_rolling_fingerprint",
     # -- new in round 2 (training-data curation) ----------------------------
     "q_sample_hash", "q_sample_stratified", "q_mix_rebalance",
-    "q_chunk_documents", "q_split_leakage_safe",
+    "q_chunk_documents", "q_split_leakage_safe", "q_pack_sequences",
     # -- scale-critical queries whose implementation changed this round -----
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_keep_list",
-    "q1_pricing_summary",
+    "dedup_minhash_lsh", "dedup_keep_list",
 ]
 
 

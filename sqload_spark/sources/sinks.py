@@ -65,9 +65,12 @@ def write_jdbc(
     num_partitions: int | None = None,
     **properties: str,
 ) -> None:
-    """JDBC bulk insert (one connection per partition, batched inserts).
-    Untested in this container (no database server); the interface mirrors
-    what a real OceanBase/MySQL load would use."""
+    """JDBC bulk insert (one connection per partition, batched inserts) —
+    the real-database load path. Exercised end-to-end in this container
+    against embedded Derby (on Spark's classpath); against a server RDBMS
+    only the url/driver change. `num_partitions` caps write concurrency —
+    a bulk load should open O(loader slots), not O(cluster cores),
+    connections."""
     out = df.repartition(num_partitions) if num_partitions else df
     (
         out.write.format("jdbc")
@@ -77,4 +80,29 @@ def write_jdbc(
         .options(**properties)
         .mode(mode)
         .save()
+    )
+
+
+def read_jdbc_partitioned(
+    spark,
+    url: str,
+    table: str,
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int,
+    **properties: str,
+) -> DataFrame:
+    """Partitioned JDBC scan: numPartitions parallel range queries on
+    partition_column — the read half of the bulk-load round trip."""
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("partitionColumn", partition_column)
+        .option("lowerBound", str(lower_bound))
+        .option("upperBound", str(upper_bound))
+        .option("numPartitions", str(num_partitions))
+        .options(**properties)
+        .load()
     )

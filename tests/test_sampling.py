@@ -93,3 +93,31 @@ def test_mix_rebalance_moves_toward_uniform(spark):
     under = df[before <= target]
     assert (over.n_after < over.n_before).all()
     assert (under.n_after == under.n_before).all()
+
+
+def test_pack_sequences_manifest_laws(spark):
+    """Blocks are dense per source (0..max), every doc packed exactly once,
+    and block k starts at token offset 1024k (cumsum consistency)."""
+    from sqload_spark.sources.tables import load_table
+
+    df = registry.QUERIES["q_pack_sequences"](spark, SF_DIR).toPandas()
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("source", F.size(F.split("text", " ")).alias("n"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens"))
+        .toPandas()
+        .set_index("source")
+    )
+    for src, grp in df.groupby("source"):
+        ids = sorted(grp.block_id)
+        assert ids == list(range(len(ids))), f"{src}: blocks not dense"
+        assert grp.n_docs.sum() == docs.loc[src].n_docs
+        assert grp.n_tokens.sum() == docs.loc[src].n_tokens
+        # every non-final block spans >= the budget from its start offset
+        # (the next block's first doc starts past 1024(k+1))
+        cum = 0
+        for k in ids[:-1]:
+            row = grp[grp.block_id == k].iloc[0]
+            cum += row.n_tokens
+            assert cum >= 1024 * (k + 1), f"{src}: block {k} underfilled"
