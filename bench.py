@@ -40,8 +40,15 @@ HEADLINE = [
     "text_quality_score",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine_banded",
     "sim_topk_bruteforce",
+    "sim_topk_hyperplane_lsh",
     "mm_decode_features",
+    "q_sample_hash",
+    "q_chunk_documents",
+    "q_pack_sequences",
+    "q_split_leakage_safe",
+    "etl_jdbc_bulk_load",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

@@ -433,13 +433,17 @@ EMB_BANDS = EMB_N_PLANES // EMB_BITS_PER_BAND
 def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs cosine near-dup mining — the small-corpus baseline /
     verifier. The scale path is dedup_embedding_cosine_banded below."""
-    from sqload_spark.functions.vectors import cosine, to_double_array
+    from sqload_spark.functions.vectors import dot, norm, to_double_array
 
+    # Norms computed ONCE per vector map-side (n sqrt-folds, not 2n²):
+    # cos = dot(a,b)/(na*nb) is the same arithmetic as cosine(a,b), so the
+    # oracle hash is unchanged — only the fold count drops 3×.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
+    emb = emb.select("vec_id", "v", norm(F.col("v")).alias("nv"))
     a, b = emb.alias("a"), emb.alias("b")
-    cos = cosine(F.col("a.v"), F.col("b.v"))
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -467,7 +471,7 @@ def embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator runs more bits per band and prunes aggressively. The knob is
     EMB_BITS_PER_BAND — the plan shape (band shuffle + candidate-only
     verification) is what survives 100 TB, not any fixed constant."""
-    from sqload_spark.functions.vectors import cosine, dot, to_double_array
+    from sqload_spark.functions.vectors import dot, norm, to_double_array
 
     rng = __import__("numpy").random.RandomState(23)
     planes = spark.createDataFrame(
@@ -506,12 +510,21 @@ def embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
-    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
+    # Norm once per vector (see dedup_embedding_cosine): same arithmetic as
+    # cosine(), 3× fewer interpreted folds in the candidate re-rank.
+    va = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"), norm(F.col("v")).alias("n_a")
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"), norm(F.col("v")).alias("n_b")
+    )
+    # Broadcast the vector table into the candidate stream: the pair set is
+    # orders of magnitude larger than the corpus-vectors-with-norms table,
+    # so the re-rank join should never shuffle the pairs.
     return (
-        candidates.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .withColumn("cos_raw", cosine(F.col("v_a"), F.col("v_b")))
+        candidates.join(F.broadcast(va), "vec_a")
+        .join(F.broadcast(vb), "vec_b")
+        .withColumn("cos_raw", dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
         .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", round_half_up(F.col("cos_raw"), 4).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
