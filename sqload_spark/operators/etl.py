@@ -159,3 +159,15 @@ def jdbc_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query("src_orc_roundtrip", oracle=_ORDERS_AGG_ORACLE)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → ORC → scan → aggregate: the third columnar format in the
+    source matrix (parquet everywhere, CSV/JSON above). ORC carries the
+    schema itself; predicate pushdown and column pruning apply as with
+    parquet."""
+    od = load_table(spark, sf_dir, "orders")
+    path = os.path.join(_SCRATCH, "orders_orc")
+    od.write.mode("overwrite").orc(path)
+    return _agg_orders(spark.read.orc(path))

@@ -268,3 +268,47 @@ def md5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5("text").alias("fp"), F.length("text").cast("bigint").alias("text_len"))
         .orderBy("doc_id")
     )
+
+
+# GPT-2-style pretokenizer, simplified to this corpus's charset: letter
+# runs, digit runs, punctuation runs (whitespace delimits). Same regex
+# engine semantics in Spark (Java regex) and DuckDB (RE2) for this class.
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+
+
+@query(
+    "text_bpe_regex_tokens",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS n_bpe,
+             len(string_split(text, ' ')) AS n_ws
+      FROM documents
+    )
+    SELECT source,
+           CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           CAST(sum(n_ws) AS BIGINT) AS total_ws_tokens,
+           floor(avg(CAST(n_bpe AS DOUBLE) / n_ws) * 10000.0 + 0.5) / 10000.0 AS bpe_per_ws
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under a BPE-ish pretokenizer regex (letter/digit/
+    punctuation runs) vs plain whitespace — the cost model a training
+    pipeline budgets sequences with. Expression-only: regexp_extract_all
+    stays JVM-side; one aggregate shuffle on source."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0))
+    n_ws = F.size(F.split(F.col("text"), " "))
+    per = docs.select("source", n_bpe.alias("n_bpe"), n_ws.alias("n_ws"))
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("n_bpe").cast("bigint").alias("total_bpe_tokens"),
+            F.sum("n_ws").cast("bigint").alias("total_ws_tokens"),
+            round_half_up(F.avg(F.col("n_bpe").cast("double") / F.col("n_ws")), 4).alias("bpe_per_ws"),
+        )
+        .orderBy("source")
+    )
