@@ -72,12 +72,11 @@ def main() -> None:
     _force(generate_table(spark, 100_000, GEN_BENCH_SPEC, seed=1, impl="arrow"))
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry.QUERIES[name]
-        t0 = time.monotonic()
-        _force(fn(spark, SF_DIR))
-        timings[name] = round(time.monotonic() - t0, 3)
 
+    # Generation workloads FIRST: measured late in a 20+-query session the
+    # expr backend reads 4-6x slower (JVM heap/codegen-cache pressure, not
+    # the pipeline — standalone it's stable at ~5 s), which would
+    # misrepresent the backend.
     # Default path (impl="auto" picks arrow for this string-heavy spec).
     t0 = time.monotonic()
     _force(generate_table(spark, GEN_BENCH_ROWS, GEN_BENCH_SPEC, seed=42))
@@ -92,6 +91,12 @@ def main() -> None:
     t0 = time.monotonic()
     _force(generate_table(spark, GEN_BENCH_ROWS, GEN_BENCH_SPEC, seed=42, impl="expr"))
     timings["gen_10m_expr_backend"] = round(time.monotonic() - t0, 3)
+
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.monotonic()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(

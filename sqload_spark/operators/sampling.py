@@ -304,3 +304,82 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n").cast("bigint").alias("n_tokens"))
         .orderBy("source", "block_id")
     )
+
+
+MIX_MIN_TOKENS, MIX_MAX_TOKENS = 20, 60
+MIX_SAMPLE_RATE = 0.5
+
+
+@query(
+    "pipe_training_mix",
+    oracle=f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   for i in range(1, len(t) - 1)])) AS sh
+      FROM toks
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT da, db FROM inter
+      JOIN cnt ca ON da = ca.doc_id
+      JOIN cnt cb ON db = cb.doc_id
+      WHERE i::DOUBLE / (ca.n + cb.n - i) >= 0.5
+    ),
+    edges AS (
+      SELECT da AS a, db AS b FROM pairs
+      UNION SELECT db, da FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS keep_doc_id
+      FROM reach GROUP BY a
+    ),
+    mix AS (
+      SELECT d.doc_id, d.source, len(string_split(d.text, ' ')) AS n_tokens
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+      WHERE len(string_split(d.text, ' ')) BETWEEN {MIX_MIN_TOKENS} AND {MIX_MAX_TOKENS}
+        AND coalesce(c.keep_doc_id, d.doc_id) = d.doc_id
+        AND {_u_sql("d.doc_id", "mixfinal")} < {MIX_SAMPLE_RATE}
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM mix
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE composed plan — the flagship
+    LLM-data query: length/quality gate → near-dup survivor selection
+    (keep only each LSH cluster's min doc_id) → deterministic 50% hash
+    sample → per-source manifest. Everything before the final reporting
+    aggregate is map-side or LSH-bounded; the oracle replays the identical
+    pipeline in SQL (recursive CTE for the cluster step), so the entire
+    composition is hash-checked end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    comps = component_labels(docs)
+    n_tokens = F.size(F.split("text", " "))
+    mix = (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .filter(F.col("n_tokens").between(MIX_MIN_TOKENS, MIX_MAX_TOKENS))
+        .join(comps, "doc_id", "left")
+        .filter(F.coalesce(F.col("keep_doc_id"), F.col("doc_id")) == F.col("doc_id"))
+        .filter(_u(F.col("doc_id"), "mixfinal") < MIX_SAMPLE_RATE)
+    )
+    return (
+        mix.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("bigint").alias("total_tokens"))
+        .orderBy("source")
+    )

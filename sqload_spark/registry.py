@@ -83,7 +83,7 @@ _PRIORITY = [
     "q_sample_hash", "q_sample_stratified", "q_mix_rebalance",
     "q_chunk_documents", "q_split_leakage_safe", "q_pack_sequences",
     # -- scale-critical queries whose implementation changed this round -----
-    "dedup_minhash_lsh", "dedup_keep_list",
+    "pipe_training_mix", "dedup_keep_list",
 ]
 
 

@@ -63,3 +63,20 @@ def test_generation_numeric_codegen(spark):
 def test_bruteforce_sim_broadcasts_queries(spark):
     plan = plan_of(spark, registry.QUERIES["sim_topk_bruteforce"](spark, SF_DIR))
     assert "BroadcastExchange" in plan, "query batch should broadcast, corpus should stream"
+
+
+def test_banded_cosine_rerank_broadcasts_vectors(spark):
+    """The candidate re-rank must broadcast the vectors-with-norms table —
+    candidate pairs (the big side) never shuffle for the join."""
+    plan = plan_of(spark, registry.QUERIES["dedup_embedding_cosine_banded"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2, "re-rank joins not broadcast"
+
+
+def test_sample_hash_is_scan_plus_filter(spark):
+    """A Bernoulli hash-sample adds no shuffle beyond the presentation sort."""
+    df = registry.QUERIES["q_sample_hash"](spark, SF_DIR)
+    plan = plan_of(spark, df)
+    # one Exchange node max (the presentation sort); "(n) Exchange" detail
+    # sections would double-count a plain substring count
+    assert len(re.findall(r"\+- Exchange", plan)) <= 1, "hash sample must not shuffle data rows"
+    assert "Filter" in plan and "Scan parquet" in plan
