@@ -68,3 +68,36 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "session_start_us", "session_end_us", "n_events"
     ).orderBy("user_id", "session_start_us")
+
+
+@query(
+    "stream_dedup_events",
+    oracle=f"""
+    SELECT DISTINCT user_id,
+           (epoch_us(ts) // {TEN_MIN_US}) * 600 AS bucket_sec,
+           event_type
+    FROM events
+    ORDER BY user_id, bucket_sec, event_type
+    """,
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup: dropDuplicatesWithinWatermark keeps the
+    first event per (user, 10-min bucket, type) and expires its key state
+    once the watermark passes — the bounded-state streaming-ingest dedup a
+    training pipeline runs in front of a feed. Projected to the key set,
+    the output is exactly batch DISTINCT, which makes the stateful operator
+    itself oracle-checkable."""
+    ev = stream_events(spark, sf_dir)
+    keyed = ev.select(
+        "user_id",
+        (F.expr(f"ts_us div {TEN_MIN_US}") * 600).alias("bucket_sec"),
+        "event_type",
+        "ts",
+    )
+    dd = keyed.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["user_id", "bucket_sec", "event_type"]
+    )
+    out = run_to_memory(dd, output_mode="append")
+    return out.select("user_id", "bucket_sec", "event_type").orderBy(
+        "user_id", "bucket_sec", "event_type"
+    )
