@@ -18,3 +18,17 @@ from dtype_audit import audit  # noqa: E402
 def test_all_oracle_pairs_dtype_identical():
     problems = audit("/root/testdata/sf0.001")
     assert not problems, "dtype mismatches vs driver gate:\n" + "\n".join(problems)
+
+
+def test_driver_window_is_exactly_the_priority_list():
+    """The correctness driver checks the FIRST 50 registry entries; the
+    priority list must be exactly that window (no silent displacement when
+    someone registers a new query)."""
+    from sqload_spark import registry
+
+    q = registry.all_queries()
+    assert len(registry._PRIORITY) == 50
+    assert list(q)[:50] == registry._PRIORITY
+    # and every priority name must resolve (typos would silently shrink it)
+    missing = [n for n in registry._PRIORITY if n not in q]
+    assert not missing, f"priority names not registered: {missing}"
