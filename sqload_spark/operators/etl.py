@@ -132,6 +132,9 @@ def jdbc_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     compared/grouped server-side)."""
     from sqload_spark.sources.sinks import read_jdbc_partitioned, write_jdbc
 
+    # keep derby.log in the scratch dir, not the caller's CWD (no-op once
+    # the Derby engine has booted in this JVM)
+    spark._jvm.System.setProperty("derby.system.home", _SCRATCH)
     url = f"jdbc:derby:{_SCRATCH}/derby_db;create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     od = load_table(spark, sf_dir, "orders").select(
