@@ -128,18 +128,15 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_topk_hyperplane_lsh", oracle=_TOPK_ORACLE)
-def topk_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN. Candidates = vectors sharing ≥1 signature
-    band with the query; exact cosine re-rank of candidates only. With the
-    N_PLANES/LSH_BANDS tuning above, measured recall on this corpus is 1.0,
-    so it shares the brute-force oracle (hash-checked, not just a recall
-    floor)."""
+def _hyperplane_topk(
+    spark: SparkSession, sf_dir: str, n_planes: int, n_bands: int
+) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
-    planes = _plane_literals(seed=7, n=N_PLANES)
-    bits_per_band = N_PLANES // LSH_BANDS
+    planes = _plane_literals(seed=7, n=n_planes)
+    bits_per_band = n_planes // n_bands
+    LSH_BANDS = n_bands
 
     def band_cols(v: Column) -> list[Column]:
         bits = [F.when(dot(v, p) > 0, 1).otherwise(0) for p in planes]
@@ -166,6 +163,27 @@ def topk_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("vec_id").alias("n_id"), cosine(F.col("qv"), F.col("v")).alias("cos_raw"))
     )
     return _topk(pairs)
+
+
+@query("sim_topk_hyperplane_lsh", oracle=_TOPK_ORACLE)
+def topk_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN, HIGH-RECALL tuning (N_PLANES × 2-bit
+    bands): candidates = vectors sharing ≥1 signature band with the query;
+    exact cosine re-rank of candidates only. Measured recall on this corpus
+    is 1.0, so it shares the brute-force oracle (hash-checked, not just a
+    recall floor). At this tuning band pruning is weak — the recall/pruning
+    dial is bits-per-band; the pruned variant below is the other end."""
+    return _hyperplane_topk(spark, sf_dir, N_PLANES, LSH_BANDS)
+
+
+@query("sim_topk_hyperplane_lsh_pruned")
+def topk_hyperplane_lsh_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRUNING end of the hyperplane dial: 16 planes × 4-bit bands.
+    P(candidate) for a random pair ≈ 0.23 (vs ≈ 0.99 for the high-recall
+    tuning) — the scan shrinks ~4×, at ~0.6+ recall floors (asserted in
+    tests). This is the production trade a billion-vector ANN makes;
+    rows-only for the driver by design."""
+    return _hyperplane_topk(spark, sf_dir, 16, 4)
 
 
 @query("sim_topk_ivf")

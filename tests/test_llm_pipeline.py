@@ -17,6 +17,7 @@ def results(spark):
     names = [
         "sim_topk_bruteforce",
         "sim_topk_hyperplane_lsh",
+        "sim_topk_hyperplane_lsh_pruned",
         "sim_topk_ivf",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
@@ -66,7 +67,14 @@ def test_simhash_banding_guarantee(spark, results):
     assert len(strong & found) / len(strong) >= 0.4
 
 
-@pytest.mark.parametrize("ann,floor", [("sim_topk_hyperplane_lsh", 0.3), ("sim_topk_ivf", 0.4)])
+@pytest.mark.parametrize(
+    "ann,floor",
+    [
+        ("sim_topk_hyperplane_lsh", 1.0),  # high-recall tuning: exact by measurement
+        ("sim_topk_hyperplane_lsh_pruned", 0.3),
+        ("sim_topk_ivf", 0.4),
+    ],
+)
 def test_ann_recall(results, ann, floor):
     """Recall@5 vs brute force. The embeddings are near-uniform random (no
     cluster structure), which is the worst case for ANN — bounds are set
@@ -81,7 +89,7 @@ def test_ann_results_are_true_neighbors(results):
     """Every ANN hit must be a real (correctly-scored) pair: the cos_sim of
     a returned neighbor must match brute force where both contain it."""
     bf = results["sim_topk_bruteforce"].set_index(["q_id", "n_id"]).cos_sim
-    for ann in ("sim_topk_hyperplane_lsh", "sim_topk_ivf"):
+    for ann in ("sim_topk_hyperplane_lsh", "sim_topk_hyperplane_lsh_pruned", "sim_topk_ivf"):
         df = results[ann]
         joined = df.set_index(["q_id", "n_id"]).cos_sim
         common = bf.index.intersection(joined.index)
