@@ -97,11 +97,24 @@ def hamming64(a: Column, b: Column) -> Column:
 def rolling_fingerprints(toks: Column, window: int = 4) -> Column:
     """Winnowing-style document fingerprints: hash every `window`-token
     span, keep the per-document minima set (here: the k smallest span
-    hashes) as the fingerprint."""
+    hashes) as the fingerprint.
+
+    Span hash = low 48 bits of md5 (first 12 hex chars, parsed base-16).
+    md5 is bit-identical in Spark and DuckDB, so the whole construction has
+    an exact SQL twin (see text_rolling_fingerprint's oracle) — unlike the
+    earlier xxhash64 variant, which had no DuckDB counterpart. 48 bits keeps
+    collisions negligible (~1e-7 at 1M distinct spans) and fits BIGINT in
+    both engines."""
     span_hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))),
-        lambda i: F.xxhash64(
-            F.concat_ws(" ", *[F.element_at(toks, i + F.lit(k)) for k in range(window)])
-        ),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", *[F.element_at(toks, i + F.lit(k)) for k in range(window)])),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
     )
     return F.slice(F.array_sort(F.array_distinct(span_hashes)), 1, 8)

@@ -225,13 +225,36 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_rolling_fingerprint")
+@query(
+    "text_rolling_fingerprint",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             [('0x' || substr(md5(concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3])), 1, 12))::BIGINT
+              for i in range(1, greatest(len(t) - 3, 1) + 1)] AS hs
+      FROM toks
+    ), fps AS (
+      SELECT doc_id, unnest(list_sort(list_distinct(hs))[1:8]) AS fp FROM spans
+    )
+    SELECT fp,
+           count(*) AS n_docs,
+           string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+    FROM fps
+    GROUP BY fp
+    HAVING count(*) > 1
+    ORDER BY fp
+    """,
+)
 def rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style fingerprints: hash every 4-token span, keep the 8
-    smallest span hashes per document. Near-duplicate documents share most
-    fingerprints, so grouping by exploded fingerprint yields candidate
-    clusters cheaply (constant output per doc → bounded shuffle at scale).
-    Rows-only (xxhash64 has no DuckDB twin); properties in tests."""
+    """Winnowing-style fingerprints: hash every 4-token span (md5 low 48
+    bits — cross-engine reproducible), keep the 8 smallest span hashes per
+    document. Near-duplicate documents share most fingerprints, so grouping
+    by exploded fingerprint yields candidate clusters cheaply (constant
+    output per doc → bounded shuffle at scale). The oracle repeats the
+    identical construction in SQL (DuckDB list comprehension), so the whole
+    pipeline is hash-checked, not rows-only."""
     from sqload_spark.functions.text_funcs import rolling_fingerprints
 
     docs = load_table(spark, sf_dir, "documents")

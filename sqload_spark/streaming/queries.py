@@ -51,11 +51,40 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("ws_sec", "event_type")
 
 
-@query("stream_session_window")
+@query(
+    "stream_session_window",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_t
+      FROM events
+    ), flagged AS (
+      SELECT user_id, t,
+             CASE WHEN prev_t IS NULL OR t - prev_t > {SESSION_GAP_US} THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ), numbered AS (
+      SELECT user_id, t,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(t) AS session_start_us,
+           max(t) AS session_end_us,
+           count(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_start_us
+    """,
+)
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming sessionization: session_window(ts, 12h) per user.
-    Rows-only for the driver; tests assert it yields exactly the sessions
-    of the batch lag+cumsum formulation."""
+    Oracle = the batch lag+cumsum sessionization (ts_sessionize's CTE chain
+    projected to this query's columns): Spark's session_window merges events
+    whose gap is strictly under 12 h, the cumsum formulation splits on
+    strictly-over — they can only disagree on a gap of exactly 12 h to the
+    microsecond, and the events tables contain none (checked at all SFs).
+    So the native stateful operator itself is hash-checked, not rows-only."""
     ev = stream_events(spark, sf_dir)
     agg = ev.groupBy(
         F.session_window("ts", f"{SESSION_GAP_US // 1_000_000} seconds").alias("w"), "user_id"

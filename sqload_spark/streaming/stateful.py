@@ -15,6 +15,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -32,8 +33,12 @@ OUTPUT_SCHEMA = T.StructType(
 
 STATE_SCHEMA = T.StructType(
     [
+        # value_sum is accumulated as integer CENTS (the events values are
+        # exact 2-decimal doubles): integer addition is order-independent
+        # across batches/partitions, so the emitted profile is bit-stable
+        # and the operator can share an exact DuckDB oracle.
         T.StructField("n", T.LongType()),
-        T.StructField("vsum", T.DoubleType()),
+        T.StructField("vcents", T.LongType()),
         T.StructField("last_us", T.LongType()),
     ]
 )
@@ -43,23 +48,43 @@ def _update_profile(
     key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, vsum, last_us = state.get if state.exists else (0, 0.0, 0)
+    n, vcents, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in batches:
         n += len(pdf)
-        vsum += float(pdf["value"].sum())
+        vcents += int((pdf["value"] * 100).round().astype("int64").sum())
         last_us = max(last_us, int(pdf["ts_us"].max()))
-    state.update((n, vsum, last_us))
+    state.update((n, vcents, last_us))
     yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "value_sum": [vsum], "last_seen_us": [last_us]}
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "value_sum": [vcents / 100.0],
+            "last_seen_us": [last_us],
+        }
     )
 
 
-@query("stream_stateful_profile")
+@query(
+    "stream_stateful_profile",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value * 100 AS BIGINT)) AS DOUBLE) / 100.0 AS value_sum,
+           max(epoch_us(ts)) AS last_seen_us
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
 def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user stateful profile over the replayed event stream. Update
     output mode: each micro-batch emits the keys it touched with their
-    current state; after an availableNow replay the memory sink's last
-    emission per key is the complete profile."""
+    current state; the final emission per key (strictly-largest n_events —
+    every touching batch adds ≥1 event) is the complete profile, reduced
+    with max/max_by so the result is one row per user no matter how many
+    micro-batches the replay used. State accumulates integer cents, so the
+    profile equals the batch GROUP BY exactly and the custom stateful
+    operator is hash-checked against a plain SQL oracle."""
     ev = stream_events(spark, sf_dir).select("user_id", "value", "ts_us")
     profiled = ev.groupBy("user_id").applyInPandasWithState(
         _update_profile,
@@ -69,4 +94,12 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     out = run_to_memory(profiled, output_mode="update")
-    return out.orderBy("user_id")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("value_sum", "n_events").alias("value_sum"),
+            F.max("last_seen_us").alias("last_seen_us"),
+        )
+        .orderBy("user_id")
+    )
