@@ -457,6 +457,130 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- pruning end of the banding dial (realistic dedup threshold) -----------
+# The corpus's real max pairwise cosine is 0.60, so a 0.8-threshold query on
+# the raw table is vacuously empty. To exercise the operator at a production
+# dedup threshold we plant deterministic near-duplicates IN-QUERY: every
+# 20th vector gets a copy with its last 4 components zeroed (pure slicing —
+# bit-identical in Spark and DuckDB; cos(v, v') = |v[:60]|/|v| lands in
+# [0.895, 0.9995], measured at sf0.01/sf0.1, vs 0.60 for the nearest real
+# pair — a wide margin on both sides of the 0.8 threshold).
+#
+# Banding: 160 planes, 8 bits/band × 20 bands. Worst qualifying pair
+# (c=0.895, θ=26.4°, p=0.853): P(miss) = (1-p^8)^20 ≈ 1.4e-3; measured
+# recall at both SFs = 1.0. Background (c≈0, p≈0.5): P(candidate) ≈
+# 20·2⁻⁸ ≈ 7.8% theoretical; measured (the real corpus is mildly
+# correlated) 8.6-8.7% → 11.5× shrink at sf0.01 (11,980 candidates vs
+# n²/2 = 137,550) and 11.6× at sf0.1 (189,787 vs 2,203,950). A 24-band
+# tuning was measured first: recall 1.0 too, but shrink 9.8× — under the
+# 10× bar.
+PRUNED_COSINE_THRESHOLD = 0.8
+PRUNED_N_PLANES = 160
+PRUNED_BITS_PER_BAND = 8
+
+_PRUNED_CORPUS_SQL = """
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    planted AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             list_concat(v[1:60], [0.0, 0.0, 0.0, 0.0]) AS v
+      FROM base WHERE vec_id % 20 = 0),
+    corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+"""
+
+_PRUNED_COSINE_ORACLE = f"""
+    {_PRUNED_CORPUS_SQL}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {sql_round_half_up("list_cosine_similarity(a.v, b.v)", 4)} AS cos_sim
+    FROM corpus a, corpus b
+    WHERE a.vec_id < b.vec_id
+      AND list_cosine_similarity(a.v, b.v) >= {PRUNED_COSINE_THRESHOLD}
+    ORDER BY vec_a, vec_b
+"""
+
+
+def _pruned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ deterministic planted near-dups (see comment above)."""
+    from sqload_spark.functions.vectors import to_double_array
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    planted = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.concat(F.slice(F.col("v"), 1, 60), F.array(*[F.lit(0.0)] * 4)).alias("v"),
+    )
+    return emb.unionByName(planted)
+
+
+def _pruned_candidates(corpus: DataFrame) -> DataFrame:
+    """Hyperplane-banded candidate mining at the high-threshold tuning:
+    8-bit band values (vs 2-bit in the low-threshold query) collide for
+    random pairs with prob 2⁻⁸ per band — this is where the pruning power
+    comes from. Same plan shape as dedup_embedding_cosine_banded: map-side
+    signatures against broadcast planes, band-equality self-join, distinct."""
+    from sqload_spark.functions.vectors import dot
+
+    rng = __import__("numpy").random.RandomState(41)
+    spark = corpus.sparkSession
+    planes = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(rng.randn(PRUNED_N_PLANES, 64))],
+        "plane int, p array<double>",
+    )
+    band_rows = (
+        corpus.join(F.broadcast(planes))
+        .select(
+            "vec_id",
+            (F.col("plane") / PRUNED_BITS_PER_BAND).cast("int").alias("band"),
+            (
+                F.when(dot(F.col("v"), F.col("p")) > 0, 1).otherwise(0)
+                * F.expr(f"shiftleft(1, plane % {PRUNED_BITS_PER_BAND})")
+            ).alias("bit"),
+        )
+        .groupBy("vec_id", "band")
+        .agg(F.sum("bit").alias("bv"))
+    )
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
+@query("dedup_embedding_cosine_banded_pruned", oracle=_PRUNED_COSINE_ORACLE)
+def embedding_cosine_banded_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRUNING end of the banded-cosine dial: production dedup threshold
+    (0.8) over the corpus + planted near-dups, 8-bit bands. Same scale-safe
+    shape as dedup_embedding_cosine_banded (map-side signatures, band
+    shuffle, candidate-only exact re-rank) but the high threshold lets the
+    bands do real work: measured candidates / (n²/2) = see test_llm_pipeline
+    (≥10× shrink asserted at sf0.01); recall vs the exact oracle = 1.0 (this
+    query hash-matches the exact all-pairs oracle at the same threshold)."""
+    from sqload_spark.functions.vectors import dot, norm
+
+    corpus = _pruned_corpus(spark, sf_dir)
+    candidates = _pruned_candidates(corpus)
+    va = corpus.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"), norm(F.col("v")).alias("n_a")
+    )
+    vb = corpus.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"), norm(F.col("v")).alias("n_b")
+    )
+    return (
+        candidates.join(F.broadcast(va), "vec_a")
+        .join(F.broadcast(vb), "vec_b")
+        .withColumn("cos_raw", dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cos_raw") >= PRUNED_COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", round_half_up(F.col("cos_raw"), 4).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 @query("dedup_embedding_cosine_banded", oracle=_EMB_COSINE_ORACLE)
 def embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-banded embedding near-dup pairs: signature map-side, band

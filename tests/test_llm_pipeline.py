@@ -132,3 +132,28 @@ def test_mm_payload_roundtrip(spark):
     original = docs.filter("doc_id = 7").first()
     assert bytes(row.payload).decode("utf-8") == original.text
     assert row.meta.format == "jpeg"  # 7 % 3 == 1
+
+
+def test_pruned_banded_cosine_shrink_and_recall(spark, duck):
+    """The pruning end of the banded-cosine dial (VERDICT r2 #4): at the 0.8
+    threshold with 8-bit bands the candidate set must shrink ≥10× vs n²/2
+    while still containing every qualifying pair (recall 1.0 — the query
+    itself hash-matches the exact oracle)."""
+    from sqload_spark.operators.dedup import (
+        _PRUNED_COSINE_ORACLE,
+        _pruned_candidates,
+        _pruned_corpus,
+        embedding_cosine_banded_pruned,
+    )
+    from tests.conftest import assert_matches_oracle
+
+    corpus = _pruned_corpus(spark, SF_DIR)
+    n = corpus.count()
+    cand = _pruned_candidates(corpus).count()
+    assert n * (n - 1) / 2 / cand >= 10, f"shrink {n*(n-1)/2/cand:.1f}x < 10x"
+    assert_matches_oracle(
+        embedding_cosine_banded_pruned(spark, SF_DIR),
+        duck,
+        _PRUNED_COSINE_ORACLE,
+        "dedup_embedding_cosine_banded_pruned",
+    )
