@@ -50,40 +50,45 @@ _OPERATOR_MODULES = [
 _loaded = False
 
 # The external correctness driver checks queries in registry order and stops
-# after a fixed window (50 in round 1, which left 36 queries with no hard
-# correctness row — VERDICT.md "Next round" #3). Order the registry so the
-# window covers, in priority order:
-#   1. the 36 queries never checked in round 1,
-#   2. the 4 round-1 red rows (now fixed) so their green flips are recorded,
-#   3. the flagship + the scale-critical dedup/window/top-k queries.
-# Anything not listed keeps registration (module import) order after these.
+# after a fixed window of 50. Round-4 rotation (VERDICT r2 "Next round" #1):
+#   1. the 4 queries that have never received a driver row,
+#   2. the 3 queries that just gained oracles (rows-only → hash-checkable),
+#   3. queries new in round 4,
+#   4. the 45 queries whose latest green row is round 1 — ordered so the
+#      ones whose modules changed since round 1 (dedup, text, relational
+#      core) come first; the 6 that don't fit (tpch_more/text_tfidf — their
+#      modules are byte-identical since round 1) wait for round 5.
+# Everything checked green in r02/r03 on current code rotates out of the
+# window; anything not listed keeps registration order after these.
 _PRIORITY = [
-    # -- never checked in round 1 -------------------------------------------
-    "sim_topk_bruteforce", "sim_label_centroids", "sim_topk_hyperplane_lsh",
-    "sim_topk_ivf",
-    "ts_tumbling_window", "ts_sliding_window", "ts_sessionize", "ts_asof_join",
-    "ts_daily_rate", "ts_moving_avg", "ts_first_last_per_user",
-    "ts_multires_rollup",
-    "q_scalar_subquery", "q_in_subquery", "q_exists_correlated",
-    "q_correlated_scalar", "q_from_json_map",
-    "q_salted_agg", "q_salted_join",
-    "q_range_join_bands", "sketch_count_min",
-    "dedup_simhash", "dedup_embedding_cosine", "dedup_embedding_cosine_banded",
-    "gen_default_table", "gen_all_types_table", "gen_keys_law",
-    "src_csv_roundtrip", "src_json_roundtrip", "etl_partitioned_bulk_load",
-    "etl_jdbc_bulk_load",
-    "text_quality_pandas_udf", "text_top_terms_applyinpandas",
-    "mm_payload_stats", "mm_decode_features",
-    "stream_tumbling_counts", "stream_session_window",
+    # -- never driver-checked (3 have oracles ready) ------------------------
+    "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",
+    "sim_topk_hyperplane_lsh_pruned",
+    # -- newly oracled this round (were rows-only) --------------------------
+    "text_rolling_fingerprint", "stream_session_window",
     "stream_stateful_profile",
-    # -- round-1 red rows, fixed this round ---------------------------------
-    "q_conditional_agg", "q_grouping_sets", "text_token_stats",
-    "text_rolling_fingerprint",
-    # -- new in round 2 (training-data curation) ----------------------------
-    "q_sample_hash", "q_sample_stratified", "q_mix_rebalance",
-    "q_chunk_documents", "q_split_leakage_safe", "q_pack_sequences",
-    # -- scale-critical queries whose implementation changed this round -----
-    "pipe_training_mix", "dedup_keep_list",
+    # -- new in round 4 -----------------------------------------------------
+    "dedup_embedding_cosine_banded_pruned",
+    # -- r01-stale, modules changed since: dedup + flagship + core ----------
+    "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "q1_pricing_summary", "q_filter_project", "q3_shipping_priority",
+    "q5_region_revenue", "q_semi_join", "q_anti_join",
+    "q_rollup_region_nation", "q_cube_returnflag_status",
+    "q_count_distinct", "q_approx_count_distinct", "q_having",
+    "q_pivot_status",
+    "q_window_topk_per_customer", "q_window_rank_dense",
+    "q_window_running_revenue", "q_window_lag_lead", "q_window_first_nth",
+    "q_window_distribution",
+    "q_topk_orders",
+    "q_intersect_custkeys", "q_except_custkeys", "q_union_priority_counts",
+    "q_string_funcs", "q_date_funcs", "q_math_funcs", "q_json_extract",
+    "q_stats_moments", "q_percentiles", "q_approx_percentile",
+    "q_string_agg",
+    "text_top_terms_per_lang", "text_langid_markers", "text_quality_score",
+    "text_token_counts", "text_md5_fingerprint",
+    "q_vector_norms",
+    # -- r01-stale, unchanged modules (rotate in if room remains) -----------
+    "text_tfidf_top_terms", "q6_forecast_revenue", "q10_returned_items",
 ]
 
 
