@@ -10,22 +10,30 @@ predicate pushdown / column pruning applies unchanged whether the path is a
 single 60 KB file (sf0.01) or a 100 TB partitioned directory — callers never
 materialize a table, they compose on the returned DataFrame.
 
-The one irregular table is ``events``: its ``ts`` column is parquet INT64
-TIMESTAMP(NANOS, false), which Spark cannot represent (TimestampType is
-microseconds). We read it as a raw long (``spark.sql.legacy.parquet
-.nanosAsLong``) and expose BOTH:
+The one irregular table is ``events``. Depending on the test-data
+generation, its ``ts`` column is either parquet INT64 TIMESTAMP(NANOS,
+false) — which Spark cannot represent natively (TimestampType is
+microseconds), so we read it as a raw long via ``spark.sql.legacy.parquet
+.nanosAsLong`` — or a plain TIMESTAMP(MICROS, false). The loader probes the
+file's Spark-inferred schema and normalizes BOTH layouts to the same two
+columns:
 
-* ``ts_ns``  — the exact int64 epoch-nanoseconds (lossless; used by every
-  oracle-checked query so ordering / gap arithmetic matches DuckDB, which
-  keeps full nanosecond precision, bit for bit), and
-* ``ts``     — a microsecond-truncated ``TimestampType`` column for the
+* ``ts_ns``  — int64 epoch-nanoseconds (exact; every oracle-checked query
+  derives its microsecond arithmetic as ``ts_ns div 1000`` so ordering /
+  gap math matches DuckDB's ``epoch_us(ts)`` bit for bit), and
+* ``ts``     — a ``TimestampType`` (microsecond) column for the
   time-window / Structured Streaming APIs that need a real timestamp.
+
+The session timezone is pinned to UTC (session.py:33), so the
+timestamp↔epoch conversions are the identity on the stored values — the
+same naive-timestamp semantics DuckDB applies on its side of the oracle.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = (
     "region",
@@ -47,9 +55,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Runtime-settable (the correctness driver owns the SparkSession).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # INT64 TIMESTAMP(NANOS) data read as raw nanos-as-long.
+            return (
+                df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+            )
+        # TIMESTAMP(MICROS) data (read as TIMESTAMP_NTZ or TIMESTAMP):
+        # normalize to TimestampType (UTC session tz → identity on stored
+        # micros) and synthesize the exact nanosecond long the operators use.
         return (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+            df.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
         )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -20,27 +20,43 @@ from pyspark.sql import types as T
 
 from sqload_spark.session import configure
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos-as-long (see sources/tables.py)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events as a file-source stream with exact ts_us + a real timestamp."""
+    """events as a file-source stream with exact ts_us + a real timestamp.
+
+    Streaming sources never infer schemas, so probe the batch-read schema
+    once (driver-side metadata only) to match the file's ts layout:
+    nanos-as-long in older generated data, TIMESTAMP(MICROS) in newer
+    (see sources/tables.py for the normalization contract).
+    """
     configure(spark)
+    batch_ts = spark.read.parquet(f"{sf_dir}/events.parquet").schema["ts"].dataType
     # file streams need a directory basePath; glob to the single table file
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet*")
+    path = f"{sf_dir}/events.parquet*"
+    if isinstance(batch_ts, T.LongType):
+        raw = spark.readStream.schema(_events_schema(T.LongType())).parquet(path)
+        return (
+            raw.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts_us", F.expr("ts_ns div 1000"))
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        )
+    raw = spark.readStream.schema(_events_schema(batch_ts)).parquet(path)
     return (
-        raw.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts_us", F.expr("ts_ns div 1000"))
-        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("ts_us", F.unix_micros(F.col("ts")))
+        .withColumn("ts_ns", F.col("ts_us") * F.lit(1000))
     )
 
 
