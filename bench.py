@@ -38,6 +38,8 @@ HEADLINE = [
     "ts_asof_join",
     "text_top_terms_per_lang",
     "text_quality_score",
+    "text_contamination_ngram",
+    "text_repetition_filter",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine_banded",

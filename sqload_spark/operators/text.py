@@ -335,3 +335,150 @@ def bpe_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- benchmark-contamination check -----------------------------------------
+# The eval "benchmark" is built in-query (every CONTAM_BENCH_MOD-th doc's
+# leading 5-gram) so the check is self-contained and deterministic; in a
+# real pipeline the bench table is an external KB-sized n-gram list — the
+# plan is unchanged, and that asymmetry (tiny bench vs TB corpus) is what
+# makes the broadcast semi-join the right 100 TB shape: the corpus side
+# stays map-side, no corpus shuffle ever happens.
+CONTAM_NGRAM = 5
+CONTAM_BENCH_MOD = 37
+
+_CONTAM_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    bench AS (
+      SELECT DISTINCT array_to_string(t[1:{CONTAM_NGRAM}], ' ') AS g
+      FROM toks WHERE doc_id % {CONTAM_BENCH_MOD} = 0 AND len(t) >= {CONTAM_NGRAM}
+    ),
+    grams AS (
+      SELECT doc_id, unnest([array_to_string(t[i:i+{CONTAM_NGRAM - 1}], ' ')
+                             for i in range(1, len(t) - {CONTAM_NGRAM - 2})]) AS g
+      FROM toks WHERE len(t) >= {CONTAM_NGRAM}
+    ),
+    hits AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench))
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    GROUP BY d.source ORDER BY d.source
+"""
+
+
+@query("text_contamination_ngram", oracle=_CONTAM_ORACLE)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: flag every training doc sharing any
+    token 5-gram with the eval set. Corpus 5-grams are generated map-side
+    (sequence+transform, no UDF), matched against the broadcast benchmark
+    with a semi-join, and only the (small) hit set of doc_ids shuffles;
+    the per-source report is one narrow aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    long_docs = docs.filter(F.size(t) >= CONTAM_NGRAM)
+    bench = (
+        long_docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
+        .select(F.array_join(F.slice(t, 1, CONTAM_NGRAM), " ").alias("g"))
+        .distinct()
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (CONTAM_NGRAM - 1)),
+        lambda i: F.array_join(F.slice(t, i, CONTAM_NGRAM), " "),
+    )
+    hits = (
+        long_docs.select("doc_id", F.explode(grams).alias("g"))
+        .join(F.broadcast(bench), "g", "leftsemi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        docs.join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+# --- Gopher-style repetition filter ----------------------------------------
+# Thresholds picked against the corpus distribution (sf0.01: dup_frac p90 =
+# 0.68, top-bigram p90 = 0.069) so the filter demonstrably drops a tail
+# rather than nothing or everything.
+REP_DUP_FRAC = 0.65
+REP_TOP_BIGRAM_FRAC = 0.08
+
+_REP_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    feats0 AS (SELECT doc_id, source, t,
+               [t[i] || ' ' || t[i+1] for i in range(1, len(t))] AS bg
+               FROM toks WHERE len(t) >= 2),
+    feats AS (
+      SELECT doc_id, source,
+             1.0 - len(list_distinct(t))::DOUBLE / len(t) AS dup_frac,
+             list_max(list_transform(list_distinct(bg),
+                      g -> len(list_filter(bg, x -> x = g))))::DOUBLE / len(bg)
+               AS top_bigram_frac
+      FROM feats0)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN dup_frac > {REP_DUP_FRAC}
+                          OR top_bigram_frac > {REP_TOP_BIGRAM_FRAC}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           {sql_round_half_up("avg(dup_frac)", 4)} AS avg_dup_frac,
+           {sql_round_half_up("avg(top_bigram_frac)", 4)} AS avg_top_bigram_frac
+    FROM feats GROUP BY source ORDER BY source
+"""
+
+
+@query("text_repetition_filter", oracle=_REP_ORACLE)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-quality filter (the Gopher/MassiveText family): flag docs
+    whose duplicate-token fraction or most-frequent-bigram share exceeds a
+    threshold. Both features are pure array expressions evaluated per doc
+    map-side (nested higher-order functions — distinct-bigram counts via
+    transform+filter, no explode, no per-doc shuffle); the only shuffle in
+    the whole plan is the final per-source aggregate, so the filter costs
+    one corpus scan at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    base = docs.filter(F.size(t) >= 2).select("doc_id", "source", t.alias("t"))
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.concat(
+            F.element_at(F.col("t"), i), F.lit(" "), F.element_at(F.col("t"), i + 1)
+        ),
+    )
+    feats = base.withColumn("bg", bg).select(
+        "source",
+        (F.lit(1.0) - F.size(F.array_distinct("t")).cast("double") / F.size("t")).alias(
+            "dup_frac"
+        ),
+        (
+            F.array_max(
+                F.transform(
+                    F.array_distinct("bg"),
+                    lambda g: F.size(F.filter(F.col("bg"), lambda x: x == g)),
+                )
+            ).cast("double")
+            / F.size("bg")
+        ).alias("top_bigram_frac"),
+    )
+    flagged = (F.col("dup_frac") > REP_DUP_FRAC) | (
+        F.col("top_bigram_frac") > REP_TOP_BIGRAM_FRAC
+    )
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(flagged, 1).otherwise(0)).cast("bigint").alias("n_flagged"),
+            round_half_up(F.avg("dup_frac"), 4).alias("avg_dup_frac"),
+            round_half_up(F.avg("top_bigram_frac"), 4).alias("avg_top_bigram_frac"),
+        )
+        .orderBy("source")
+    )

@@ -54,10 +54,10 @@ _loaded = False
 #   1. the 4 queries that have never received a driver row,
 #   2. the 3 queries that just gained oracles (rows-only → hash-checkable),
 #   3. queries new in round 4,
-#   4. the 45 queries whose latest green row is round 1 — ordered so the
+#   4. the queries whose latest green row is round 1 — ordered so the
 #      ones whose modules changed since round 1 (dedup, text, relational
-#      core) come first; the 6 that don't fit (tpch_more/text_tfidf — their
-#      modules are byte-identical since round 1) wait for round 5.
+#      core) come first; the handful that don't fit (tpch_more/text_tfidf —
+#      their modules are byte-identical since round 1) wait for round 5.
 # Everything checked green in r02/r03 on current code rotates out of the
 # window; anything not listed keeps registration order after these.
 _PRIORITY = [
@@ -69,6 +69,8 @@ _PRIORITY = [
     "stream_stateful_profile",
     # -- new in round 4 -----------------------------------------------------
     "dedup_embedding_cosine_banded_pruned",
+    "text_contamination_ngram", "text_repetition_filter",
+    "stream_microbatch_progress",
     # -- r01-stale, modules changed since: dedup + flagship + core ----------
     "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "q1_pricing_summary", "q_filter_project", "q3_shipping_priority",
@@ -87,8 +89,6 @@ _PRIORITY = [
     "text_top_terms_per_lang", "text_langid_markers", "text_quality_score",
     "text_token_counts", "text_md5_fingerprint",
     "q_vector_norms",
-    # -- r01-stale, unchanged modules (rotate in if room remains) -----------
-    "text_tfidf_top_terms", "q6_forecast_revenue", "q10_returned_items",
 ]
 
 

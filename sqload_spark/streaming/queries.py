@@ -130,3 +130,105 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "bucket_sec", "event_type").orderBy(
         "user_id", "bucket_sec", "event_type"
     )
+
+
+# --- real periodic-trigger micro-batch evidence ----------------------------
+# Every other streaming entry replays with trigger(availableNow) — correct
+# for oracle equivalence, but it never exercises the periodic trigger path a
+# production stream runs on. This query does: the events table is split
+# into MB_N_BUCKETS deterministic hash-bucket files, streamed back with
+# maxFilesPerTrigger=1 under a processingTime trigger, and each micro-batch
+# appends its per-type counts (with its batch_id) to a parquet accumulator
+# via foreachBatch — all distributed writes, nothing collected. Because one
+# batch == one file == one md5 bucket, `n_batches` per event type equals
+# count(DISTINCT bucket) — a pure batch-SQL expression — so the incremental
+# execution itself is hash-checked: n_batches > 1 in the output PROVES the
+# result was assembled across multiple real micro-batches.
+# (foreachBatch+append is not idempotent under batch retries; production
+# sinks key on batch_id for exactly-once — no retries occur in this
+# single-process run.)
+MB_N_BUCKETS = 4
+
+_MB_BUCKET_SQL = (
+    "(('0x' || substr(md5('mb|' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT"
+    f" % {MB_N_BUCKETS})"
+)
+
+
+@query(
+    "stream_microbatch_progress",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT {_MB_BUCKET_SQL}) AS n_batches
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def stream_microbatch_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import time as _time
+
+    from sqload_spark.sources.tables import load_table
+
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mb|"), F.col("event_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(MB_N_BUCKETS),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", bucket.alias("bucket")
+    )
+    in_dir = tempfile.mkdtemp(prefix="sqload_mb_in_")
+    acc_dir = tempfile.mkdtemp(prefix="sqload_mb_") + "/acc"
+    for b in range(MB_N_BUCKETS):
+        ev.filter(F.col("bucket") == b).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(acc_dir)
+        )
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, bucket long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sqload_mb_ckpt_"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    expected = ev.count()
+    try:
+        deadline = _time.monotonic() + 120
+        got = None
+        while _time.monotonic() < deadline and got != expected:
+            _time.sleep(0.2)
+            try:
+                got = spark.read.parquet(acc_dir).agg(F.sum("n")).first()[0]
+            except Exception:  # accumulator dir not written yet
+                got = None
+    finally:
+        q.stop()
+        q.awaitTermination()
+    if got != expected:
+        raise RuntimeError(f"micro-batch stream incomplete: {got} of {expected} rows")
+    return (
+        spark.read.parquet(acc_dir)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.countDistinct("batch_id").cast("bigint").alias("n_batches"),
+        )
+        .orderBy("event_type")
+    )
