@@ -72,34 +72,54 @@ def main() -> None:
     spark.range(1000).count()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(10).count()
     _force(generate_table(spark, 100_000, GEN_BENCH_SPEC, seed=1, impl="arrow"))
+    # warm the expr backend at FULL size: its first 10M-row run pays a
+    # 15-40 s JVM JIT/compile storm that small-size warmups do not absorb
+    # (measured: 100k 1.9 s, 1M 1.0 s, first 10M 18-46 s, second 10M 3.7 s).
+    # The measured number below is the backend's steady-state throughput;
+    # the one-time cost is recorded in BASELINE.md.
+    _force(generate_table(spark, GEN_BENCH_ROWS, GEN_BENCH_SPEC, seed=1, impl="expr"))
 
-    timings: dict[str, float] = {}
+    # Two SEPARATED passes over every workload, min per entry. The host
+    # takes a periodic machine-wide stall (~30-90 s, roughly every 15 min)
+    # that would otherwise land on one arbitrary query and misreport it by
+    # 3-10x (observed: the same query measuring 3.7 s and 37 s in
+    # back-to-back runs with an idle machine). Two passes separated by the
+    # full suite length cannot both be hit for the same entry.
+    # Generation workloads FIRST in each pass: measured late in a
+    # 20+-query session the expr backend reads 4-6x slower (JVM
+    # heap/codegen-cache pressure, not the pipeline).
+    def one_pass() -> dict[str, float]:
+        t: dict[str, float] = {}
 
-    # Generation workloads FIRST: measured late in a 20+-query session the
-    # expr backend reads 4-6x slower (JVM heap/codegen-cache pressure, not
-    # the pipeline — standalone it's stable at ~5 s), which would
-    # misrepresent the backend.
-    # Default path (impl="auto" picks arrow for this string-heavy spec).
-    t0 = time.monotonic()
-    _force(generate_table(spark, GEN_BENCH_ROWS, GEN_BENCH_SPEC, seed=42))
-    gen_sec = time.monotonic() - t0
-    timings["gen_10m_reference_spec"] = round(gen_sec, 3)
+        def clock(name: str, thunk) -> None:
+            t0 = time.monotonic()
+            thunk()
+            t[name] = round(time.monotonic() - t0, 3)
 
-    t0 = time.monotonic()
-    _force(generate_table(spark, GEN_BENCH_ROWS, GEN_BENCH_SPEC, seed=42, impl="arrow"))
-    arrow_sec = time.monotonic() - t0
-    timings["gen_10m_arrow_backend"] = round(arrow_sec, 3)
+        # Default path (impl="auto" picks arrow for this string-heavy spec).
+        clock(
+            "gen_10m_reference_spec",
+            lambda: _force(generate_table(spark, GEN_BENCH_ROWS, GEN_BENCH_SPEC, seed=42)),
+        )
+        clock(
+            "gen_10m_arrow_backend",
+            lambda: _force(
+                generate_table(spark, GEN_BENCH_ROWS, GEN_BENCH_SPEC, seed=42, impl="arrow")
+            ),
+        )
+        clock(
+            "gen_10m_expr_backend",
+            lambda: _force(
+                generate_table(spark, GEN_BENCH_ROWS, GEN_BENCH_SPEC, seed=42, impl="expr")
+            ),
+        )
+        for name in HEADLINE:
+            clock(name, lambda fn=registry.QUERIES[name]: _force(fn(spark, SF_DIR)))
+        return t
 
-    t0 = time.monotonic()
-    _force(generate_table(spark, GEN_BENCH_ROWS, GEN_BENCH_SPEC, seed=42, impl="expr"))
-    timings["gen_10m_expr_backend"] = round(time.monotonic() - t0, 3)
-
-    for name in HEADLINE:
-        fn = registry.QUERIES[name]
-        t0 = time.monotonic()
-        _force(fn(spark, SF_DIR))
-        timings[name] = round(time.monotonic() - t0, 3)
-
+    pass1, pass2 = one_pass(), one_pass()
+    timings = {k: min(pass1[k], pass2[k]) for k in pass1}
+    gen_sec = timings["gen_10m_reference_spec"]
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -374,18 +374,22 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     token 5-gram with the eval set. Corpus 5-grams are generated map-side
     (sequence+transform, no UDF), matched against the broadcast benchmark
     with a semi-join, and only the (small) hit set of doc_ids shuffles;
-    the per-source report is one narrow aggregate."""
+    the per-source report is one narrow aggregate.
+
+    The token array is materialized as a column BEFORE the gram lambda:
+    referencing the split() expression inside the lambda body makes Catalyst
+    re-evaluate the split once per index (measured 12 s → ~1 s at sf0.1)."""
     docs = load_table(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
-    long_docs = docs.filter(F.size(t) >= CONTAM_NGRAM)
+    long_docs = docs.select("doc_id", t.alias("t")).filter(F.size("t") >= CONTAM_NGRAM)
     bench = (
         long_docs.filter(F.col("doc_id") % CONTAM_BENCH_MOD == 0)
-        .select(F.array_join(F.slice(t, 1, CONTAM_NGRAM), " ").alias("g"))
+        .select(F.array_join(F.slice(F.col("t"), 1, CONTAM_NGRAM), " ").alias("g"))
         .distinct()
     )
     grams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (CONTAM_NGRAM - 1)),
-        lambda i: F.array_join(F.slice(t, i, CONTAM_NGRAM), " "),
+        F.sequence(F.lit(1), F.size("t") - (CONTAM_NGRAM - 1)),
+        lambda i: F.array_join(F.slice(F.col("t"), i, CONTAM_NGRAM), " "),
     )
     hits = (
         long_docs.select("doc_id", F.explode(grams).alias("g"))
@@ -441,10 +445,15 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition-quality filter (the Gopher/MassiveText family): flag docs
     whose duplicate-token fraction or most-frequent-bigram share exceeds a
     threshold. Both features are pure array expressions evaluated per doc
-    map-side (nested higher-order functions — distinct-bigram counts via
-    transform+filter, no explode, no per-doc shuffle); the only shuffle in
-    the whole plan is the final per-source aggregate, so the filter costs
-    one corpus scan at any scale."""
+    map-side (no explode, no per-doc shuffle); the only shuffle in the
+    whole plan is the final per-source aggregate, so the filter costs one
+    corpus scan at any scale.
+
+    The top-bigram count is a run-length scan over the SORTED bigram array
+    (one aggregate() pass, O(n log n) per doc) — the first version counted
+    each distinct bigram with a nested transform+filter, O(distinct × n)
+    interpreted lambda evaluations per doc, which measured 11 s at sf0.1
+    vs 1.4 s for this formulation. Same value, same oracle."""
     docs = load_table(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
     base = docs.filter(F.size(t) >= 2).select("doc_id", "source", t.alias("t"))
@@ -454,20 +463,26 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.col("t"), i), F.lit(" "), F.element_at(F.col("t"), i + 1)
         ),
     )
+    run = F.aggregate(
+        F.array_sort(F.col("bg")),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best, F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
     feats = base.withColumn("bg", bg).select(
         "source",
         (F.lit(1.0) - F.size(F.array_distinct("t")).cast("double") / F.size("t")).alias(
             "dup_frac"
         ),
-        (
-            F.array_max(
-                F.transform(
-                    F.array_distinct("bg"),
-                    lambda g: F.size(F.filter(F.col("bg"), lambda x: x == g)),
-                )
-            ).cast("double")
-            / F.size("bg")
-        ).alias("top_bigram_frac"),
+        (run.cast("double") / F.size("bg")).alias("top_bigram_frac"),
     )
     flagged = (F.col("dup_frac") > REP_DUP_FRAC) | (
         F.col("top_bigram_frac") > REP_TOP_BIGRAM_FRAC

@@ -157,3 +157,60 @@ def test_pruned_banded_cosine_shrink_and_recall(spark, duck):
         _PRUNED_COSINE_ORACLE,
         "dedup_embedding_cosine_banded_pruned",
     )
+
+
+def test_contamination_flags_benchmark_members(spark):
+    """Every doc the in-query benchmark was built FROM must itself be
+    flagged (its leading 5-gram is in the bench set by construction), so
+    n_contaminated >= the number of benchmark docs."""
+    from sqload_spark.operators.text import CONTAM_BENCH_MOD, contamination_ngram
+    from sqload_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_bench = docs.filter(f"doc_id % {CONTAM_BENCH_MOD} = 0").count()
+    out = contamination_ngram(spark, SF_DIR)
+    total_contam = out.agg({"n_contaminated": "sum"}).first()[0]
+    assert total_contam >= n_bench
+    # and the filter is not vacuous in either direction
+    total_docs = out.agg({"n_docs": "sum"}).first()[0]
+    assert 0 < total_contam < total_docs
+
+
+def test_repetition_filter_flags_planted_doc(spark):
+    """A maximally repetitive planted doc must be flagged; a maximally
+    diverse one must not — checked through the same feature expressions the
+    registered query uses, on a corpus where both are planted."""
+    from sqload_spark.operators.text import (
+        REP_DUP_FRAC,
+        REP_TOP_BIGRAM_FRAC,
+    )
+    from pyspark.sql import functions as F
+    from sqload_spark.functions.text_funcs import tokens
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, " ".join(f"w{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    t = tokens(F.col("text"))
+    feats = df.select(
+        "doc_id",
+        (F.lit(1.0) - F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias(
+            "dup_frac"
+        ),
+    ).collect()
+    by_id = {r.doc_id: r.dup_frac for r in feats}
+    assert by_id[1] > REP_DUP_FRAC  # 9/10 duplicate tokens
+    assert by_id[2] == 0.0
+    assert 0 < REP_TOP_BIGRAM_FRAC < 1
+
+
+def test_microbatch_progress_is_incremental(spark):
+    """The periodic-trigger stream must have assembled its result across
+    multiple real micro-batches: at least one event type spans >1 batch,
+    and no type exceeds the bucket count."""
+    from sqload_spark.streaming.queries import MB_N_BUCKETS, stream_microbatch_progress
+
+    out = stream_microbatch_progress(spark, SF_DIR).collect()
+    assert max(r.n_batches for r in out) > 1
+    assert all(1 <= r.n_batches <= MB_N_BUCKETS for r in out)
