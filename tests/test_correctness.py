@@ -8,7 +8,7 @@ from __future__ import annotations
 import pytest
 
 from sqload_spark import registry
-from tests.conftest import SF_DIR, assert_matches_oracle
+from tests.conftest import SF_DIR, SF_SMOKE_DIR, assert_matches_oracle
 
 registry.load_all()
 
@@ -36,3 +36,35 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_events_loader_normalizes_both_ts_layouts(spark, tmp_path):
+    """The driver has shipped events.ts as INT64 TIMESTAMP(NANOS) and as
+    TIMESTAMP(MICROS) in different rounds. Re-encode the current table in
+    BOTH layouts and assert load_table normalizes them to identical
+    (ts_ns, ts) values — the regression that silently broke every
+    timeseries query when the layout flipped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sqload_spark.sources.tables import load_table
+
+    src = pq.read_table(f"{SF_SMOKE_DIR}/events.parquet")
+    i = src.schema.get_field_index("ts")
+    us_col = src.column("ts").cast(pa.timestamp("us"))
+    ns_col = us_col.cast(pa.timestamp("ns"))
+    for name, col in [("micros", us_col), ("nanos", ns_col)]:
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(src.set_column(i, "ts", col), d / "events.parquet")
+
+    rows = {}
+    for name in ("micros", "nanos"):
+        df = load_table(spark, str(tmp_path / name), "events")
+        assert {"ts_ns", "ts"} <= set(df.columns)
+        assert df.schema["ts"].dataType.typeName() == "timestamp"
+        assert df.schema["ts_ns"].dataType.typeName() == "long"
+        rows[name] = sorted(
+            (r.event_id, r.ts_ns, r.ts) for r in df.select("event_id", "ts_ns", "ts").collect()
+        )
+    assert rows["micros"] == rows["nanos"]
