@@ -80,3 +80,25 @@ def test_sample_hash_is_scan_plus_filter(spark):
     # sections would double-count a plain substring count
     assert len(re.findall(r"\+- Exchange", plan)) <= 1, "hash sample must not shuffle data rows"
     assert "Filter" in plan and "Scan parquet" in plan
+
+
+def test_bucketed_join_has_no_exchange_before_join(spark):
+    """q_join_bucketed_colocated: both sides are bucketed on the join key,
+    so the sort-merge join must consume the scans directly — no Exchange
+    (shuffle) anywhere below the join. The groupBy above it may shuffle."""
+    df = registry.QUERIES["q_join_bucketed_colocated"](spark, SF_DIR)
+    plan = plan_of(spark, df)
+    assert "SortMergeJoin" in plan, "bucketed join fell back to another strategy"
+    join_pos = plan.index("SortMergeJoin")
+    tree = plan[:join_pos]
+    # in the formatted tree the join's children print BELOW the join line;
+    # check the subtree section instead: everything between the join operator
+    # and the scans must be free of Exchange
+    scan_section = plan[join_pos:]
+    upto_scans = scan_section[: scan_section.index("ReadSchema")]
+    assert "Exchange" not in upto_scans.replace("BroadcastExchange", ""), (
+        "shuffle between bucketed scans and join"
+    )
+    assert plan.count("SelectedBucketsCount") >= 1 or "Bucketed: true" in plan, (
+        "scan did not use bucketing"
+    )
