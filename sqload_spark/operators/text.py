@@ -497,3 +497,67 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- PII scrub (planted-email redaction) -----------------------------------
+# The synthetic corpus contains no '@', so the emails are planted IN-QUERY
+# on every 13th doc (same pattern as the pruned-cosine planted near-dups:
+# deterministic, bit-identical in both engines) and then scrubbed. The
+# per-source checksum sums md5-low-bits of every scrubbed text, so the
+# oracle hash covers the full redacted CONTENT, not just the counts.
+PII_MOD = 13
+PII_RE = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+
+_PII_ORACLE = rf"""
+    WITH planted AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % {PII_MOD} = 0
+                  THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                       || '@mail.example now'
+                  ELSE text END AS text2
+      FROM documents)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text2, '{PII_RE}'))) AS BIGINT)
+             AS n_redactions,
+           CAST(sum(('0x' || substr(md5(
+                 regexp_replace(text2, '{PII_RE}', '<EMAIL>', 'g')), 1, 8))::BIGINT)
+             AS BIGINT) AS scrub_checksum
+    FROM planted GROUP BY source ORDER BY source
+"""
+
+
+@query("text_pii_scrub", oracle=_PII_ORACLE)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: regex-scrub email-shaped spans, report per-source
+    redaction counts plus a checksum over the scrubbed content. Pure
+    map-side string expressions (regexp_extract_all / regexp_replace are
+    JVM-side); one aggregate shuffle — a 100 TB scrub costs one scan.
+    The [a-z0-9]+@[a-z0-9]+\\.[a-z]+ pattern class behaves identically in
+    Java regex and DuckDB's RE2 (DuckDB needs the 'g' flag to match
+    Spark's replace-all semantics)."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % PII_MOD == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example now"),
+        ),
+    ).otherwise(F.col("text"))
+    scrubbed = F.regexp_replace(planted, PII_RE, "<EMAIL>")
+    checksum = F.conv(F.substring(F.md5(scrubbed), 1, 8), 16, 10).cast("bigint")
+    per_doc = docs.select(
+        "source",
+        F.size(F.regexp_extract_all(planted, F.lit(PII_RE), 0)).alias("n_hits"),
+        checksum.alias("ck"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_hits").cast("bigint").alias("n_redactions"),
+            F.sum("ck").cast("bigint").alias("scrub_checksum"),
+        )
+        .orderBy("source")
+    )
