@@ -661,3 +661,122 @@ def embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", round_half_up(F.col("cos_raw"), 4).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new shard vs existing corpus (the production shape).
+# ---------------------------------------------------------------------------
+# An arriving shard (every 5th doc here) is deduped against the accepted
+# corpus + earlier arrivals WITHOUT re-mining corpus-vs-corpus pairs: the
+# band join is BIPARTITE (all-docs bands × new-docs bands), so candidate
+# generation cost is proportional to the new shard, not the corpus. This is
+# the steady-state cost model of a 100 TB ingest pipeline — the full
+# corpus-wide mine (dedup_minhash_lsh) runs once, this runs per batch.
+INCR_NEW_MOD = 5
+
+_INCR_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   for i in range(1, len(t) - 1)])) AS sh
+      FROM toks
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT b.doc_id AS nid, a.doc_id AS pid, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh
+      WHERE b.doc_id % {INCR_NEW_MOD} = 0
+        AND a.doc_id != b.doc_id
+        AND (a.doc_id % {INCR_NEW_MOD} != 0 OR a.doc_id < b.doc_id)
+      GROUP BY 1, 2
+    ),
+    quals AS (
+      SELECT nid, pid, i::DOUBLE / (ca.n + cb.n - i) AS j
+      FROM inter
+      JOIN cnt ca ON pid = ca.doc_id
+      JOIN cnt cb ON nid = cb.doc_id
+      WHERE i::DOUBLE / (ca.n + cb.n - i) >= {JACCARD_THRESHOLD}
+    )
+    SELECT nid AS doc_id,
+           min(pid) AS dup_of,
+           {sql_round_half_up("arg_min(j, pid)", 4)} AS jaccard
+    FROM quals GROUP BY nid ORDER BY doc_id
+"""
+
+
+@query("dedup_incremental_shard", oracle=_INCR_ORACLE)
+def incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup check for an arriving shard: which new docs
+    (doc_id % 5 == 0) duplicate an accepted doc (the corpus, or an earlier
+    arrival with a smaller id)? Signatures are one map-side pass over all
+    docs, but the band join is bipartite (all × new-only), so candidates —
+    and therefore exact-verification work — scale with the SHARD, never
+    corpus². Output: each flagged new doc with its smallest qualifying
+    partner and that partner's exact Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh_rows = docs.select("doc_id", F.explode(shingle_hashes(F.col("text"), 3)).alias("h"))
+    sigs = sh_rows.groupBy("doc_id").agg(*minhash_agg_exprs("h", NUM_PERM))
+    rows_per_band = NUM_PERM // LSH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("bh"),
+                    )
+                    for band in range(LSH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.bh")
+    new_bands = bands.filter(F.col("doc_id") % INCR_NEW_MOD == 0)
+    a, b = bands.alias("a"), new_bands.alias("b")
+    accepted_before = (F.col("a.doc_id") % INCR_NEW_MOD != 0) | (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & accepted_before,
+        )
+        .select(F.col("b.doc_id").alias("nid"), F.col("a.doc_id").alias("pid"))
+        .distinct()
+    )
+    sets_n = docs.select(
+        F.col("doc_id").alias("nid"), shingle_hashes(F.col("text"), 3).alias("sh_n")
+    )
+    sets_p = docs.select(
+        F.col("doc_id").alias("pid"), shingle_hashes(F.col("text"), 3).alias("sh_p")
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_p"))
+    verified = (
+        candidates.join(sets_n, "nid")
+        .join(sets_p, "pid")
+        .select(
+            "nid",
+            "pid",
+            (
+                inter.cast("double") / (F.size("sh_n") + F.size("sh_p") - inter)
+            ).alias("j_raw"),
+        )
+        .filter(F.col("j_raw") >= JACCARD_THRESHOLD)
+    )
+    best = F.min(F.struct(F.col("pid"), F.col("j_raw"))).alias("best")
+    return (
+        verified.groupBy("nid")
+        .agg(best)
+        .select(
+            F.col("nid").alias("doc_id"),
+            F.col("best.pid").alias("dup_of"),
+            round_half_up(F.col("best.j_raw"), 4).alias("jaccard"),
+        )
+        .orderBy("doc_id")
+    )
