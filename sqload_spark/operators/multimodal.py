@@ -122,3 +122,67 @@ def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     df = with_payload(docs).select("doc_id", "payload", F.col("meta.format").alias("format"))
     return df.mapInPandas(_extract_features, schema=FEATURE_SCHEMA).orderBy("doc_id")
+
+
+# --- frame sampling --------------------------------------------------------
+# The payload is treated as a stream of fixed-size frames (FRAME_CHARS
+# units each — char-addressed rather than byte-addressed because the oracle
+# needs DuckDB `substring`, which is VARCHAR-only; on this ASCII corpus the
+# two are identical). Every SAMPLE_EVERY-th frame is kept and fingerprinted
+# — the keyframe-extraction shape of a video pipeline: mapInPandas streams
+# Arrow batches, payloads never leave the executors, output is a few scalar
+# columns per doc, and the md5-per-sampled-frame checksum makes the whole
+# Python decode path hash-checkable against SQL.
+FRAME_CHARS = 32
+SAMPLE_EVERY = 4
+
+_FRAME_ORACLE = f"""
+    WITH frames AS (
+      SELECT doc_id,
+             CAST(ceil(len(text)::DOUBLE / {FRAME_CHARS}) AS BIGINT) AS n_frames,
+             [('0x' || substr(md5(substring(text, (f - 1) * {FRAME_CHARS} + 1,
+                                            {FRAME_CHARS})), 1, 8))::BIGINT
+              for f in range(1, CAST(ceil(len(text)::DOUBLE / {FRAME_CHARS}) AS BIGINT) + 1)
+              if (f - 1) % {SAMPLE_EVERY} = 0] AS cks
+      FROM documents)
+    SELECT doc_id, n_frames,
+           CAST(len(cks) AS BIGINT) AS n_sampled,
+           CAST(list_sum(cks) AS BIGINT) AS sample_checksum
+    FROM frames ORDER BY doc_id
+"""
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            s = bytes(payload).decode("utf-8")
+            n_frames = -(-len(s) // FRAME_CHARS)
+            sampled = [
+                s[k * FRAME_CHARS : (k + 1) * FRAME_CHARS]
+                for k in range(0, n_frames, SAMPLE_EVERY)
+            ]
+            ck = sum(
+                int(hashlib.md5(f.encode("utf-8")).hexdigest()[:8], 16) for f in sampled
+            )
+            rows.append((doc_id, n_frames, len(sampled), ck))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "n_frames", "n_sampled", "sample_checksum"]
+        )
+
+
+FRAME_SCHEMA = "doc_id bigint, n_frames bigint, n_sampled bigint, sample_checksum bigint"
+
+
+@query("mm_frame_sample", oracle=_FRAME_ORACLE)
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe sampling over the synthetic payload stream via mapInPandas:
+    every 4th 32-char frame is kept and md5-fingerprinted; the summed
+    fingerprint is the oracle-checked evidence that the Arrow-batched
+    Python path touched exactly the right bytes. Embarrassingly parallel,
+    zero shuffles before the presentation sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    df = with_payload(docs).select("doc_id", "payload")
+    return df.mapInPandas(_sample_frames, schema=FRAME_SCHEMA).orderBy("doc_id")
