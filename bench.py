@@ -51,6 +51,12 @@ HEADLINE = [
     "q_pack_sequences",
     "q_split_leakage_safe",
     "etl_jdbc_bulk_load",
+    # round-4 staged ops (driver rows land in round 5; perf tracked now)
+    "dedup_incremental_shard",
+    "text_pii_scrub",
+    "mm_frame_sample",
+    "q_training_order",
+    "q_join_bucketed_colocated",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42
