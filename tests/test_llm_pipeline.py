@@ -214,3 +214,42 @@ def test_microbatch_progress_is_incremental(spark):
     out = stream_microbatch_progress(spark, SF_DIR).collect()
     assert max(r.n_batches for r in out) > 1
     assert all(1 <= r.n_batches <= MB_N_BUCKETS for r in out)
+
+
+def test_training_order_is_permutation(spark):
+    """global_pos must be exactly 0..n-1 — a total order with no gaps or
+    ties — and reproducible across runs."""
+    from sqload_spark.operators.scale_ops import training_order
+
+    out = training_order(spark, SF_DIR)
+    n = out.count()
+    pos = [r.global_pos for r in out.select("global_pos").collect()]
+    assert sorted(pos) == list(range(n))
+    again = [r.global_pos for r in training_order(spark, SF_DIR).select("global_pos").collect()]
+    assert pos == again
+
+
+def test_pii_scrub_redacts_every_planted_email(spark):
+    """Exactly one email is planted per PII_MOD-th doc; the scrub must
+    find each one exactly once and the scrubbed content must be free of
+    the pattern (checksum equals md5 over '<EMAIL>'-substituted text)."""
+    from sqload_spark.operators.text import PII_MOD, pii_scrub
+    from sqload_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    n_planted = docs.filter(f"doc_id % {PII_MOD} = 0").count()
+    out = pii_scrub(spark, SF_DIR)
+    assert out.agg({"n_redactions": "sum"}).first()[0] == n_planted
+
+
+def test_incremental_shard_flags_only_new_docs(spark):
+    """Every flagged doc is in the arriving shard, and its dup_of partner
+    is an accepted doc (corpus member, or an earlier arrival)."""
+    from sqload_spark.operators.dedup import INCR_NEW_MOD, incremental_shard
+
+    rows = incremental_shard(spark, SF_DIR).collect()
+    assert rows, "corpus has near-dup pairs, so some arrivals must be flagged"
+    for r in rows:
+        assert r.doc_id % INCR_NEW_MOD == 0
+        assert r.dup_of % INCR_NEW_MOD != 0 or r.dup_of < r.doc_id
+        assert r.jaccard >= 0.5
