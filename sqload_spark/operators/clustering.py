@@ -1,0 +1,230 @@
+"""Embedding clustering — the semantic-dedup / corpus-organization layer
+of an LLM data pipeline (cluster the corpus, then dedup/curate per
+cluster instead of globally).
+
+Three queries over `embeddings` (64-dim float vectors, k = 10 clusters
+seeded from the `label` column so everything is deterministic and
+DuckDB-oracle-checkable):
+
+* ``q_kmeans_assign`` — the k-means ASSIGNMENT step: nearest-centroid by
+  squared L2. The centroid model is k×64 doubles computed in-plan
+  (posexplode + groupBy — one bounded shuffle of k×dim cells regardless
+  of corpus size) and **broadcast**; assignment is then a map-side
+  broadcast join + expression fold per row. No collect, no crossJoin
+  blow-up: the expansion is exactly k rows per vector and at 100 TB the
+  scan stays embarrassingly parallel — this is how Spark ML's own
+  KMeans scores, re-expressed as pure Catalyst expressions.
+* ``q_kmeans_refine`` — ONE full Lloyd iteration (assign → recompute
+  centroids from the assignment → reassign), reporting per-cluster size
+  and exact within-cluster cost. Shows the iterative-algorithm shape:
+  each iteration is one bounded (k×dim) shuffle + one broadcast join;
+  nothing driver-side grows with the data.
+* ``dedup_semantic_representative`` — semantic dedup's pick step: keep
+  the single member closest to its centroid per cluster (the
+  representative), reporting cluster size. Downstream, "drop all but
+  the representative" is the cluster-level analogue of the MinHash
+  keep-list (dedup.py).
+
+Float discipline (the repo-standard rules): float32 inputs upcast to
+double before any math; centroid cells rounded half-up to 6dp in BOTH
+engines before distances (so distance inputs are bit-identical);
+distance ORDER BY on 6dp-rounded values with the cluster id as a total
+tie-break; sums of distances go through the exact-decimal trick so
+partial-aggregation order can't flip a rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from sqload_spark.functions.rounding import (
+    exact_decimal_sum,
+    round_half_up,
+    sql_exact_decimal_sum,
+    sql_round_half_up,
+)
+from sqload_spark.functions.vectors import to_double_array
+from sqload_spark.registry import query
+from sqload_spark.sources.tables import load_table
+
+DIM = 64
+
+
+def _sq_l2(v: Column, c: Column) -> Column:
+    """Σ (vᵢ-cᵢ)² — left-to-right fold, deterministic."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroids_from(df: DataFrame, cluster_col: str) -> DataFrame:
+    """(cluster, cvec): mean vector per cluster, cells rounded to 6dp.
+
+    posexplode → groupBy(cluster, pos) is one shuffle of k×DIM cells —
+    the only shuffle in the centroid update, independent of corpus size.
+    The k×DIM result is small enough to broadcast at any k we'd run."""
+    cells = (
+        df.select(F.col(cluster_col).alias("cluster"), F.posexplode("v").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(round_half_up(F.avg("val"), 6).alias("cval"))
+    )
+    return cells.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s["cval"]
+        ).alias("cvec")
+    )
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, v, cluster, d2): nearest centroid per vector.
+
+    Broadcast the k-row model, expand k rows per vector, keep the argmin
+    via a window ordered by (round(d2, 6), cluster) — total order, so
+    ties can't flip between engines."""
+    scored = vecs.join(F.broadcast(cents)).select(
+        "vec_id", "v", "cluster", _sq_l2(F.col("v"), F.col("cvec")).alias("d2")
+    )
+    w = W.partitionBy("vec_id").orderBy(round_half_up(F.col("d2"), 6), F.col("cluster"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v"), "label"
+    )
+
+
+# Shared oracle CTEs: label-seeded centroids, then one assignment pass.
+# embedding[dim] is 1-based in DuckDB; cells rounded 6dp to match Spark.
+_ASSIGN_CTES = f"""
+    vecs AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+    ), cent_cell AS (
+      SELECT label AS cluster, dim,
+             {sql_round_half_up("avg(v[dim])", 6)} AS cval
+      FROM vecs, range(1, {DIM + 1}) t(dim)
+      GROUP BY label, dim
+    ), cent AS (
+      SELECT cluster, list(cval ORDER BY dim) AS cvec FROM cent_cell GROUP BY cluster
+    ), scored AS (
+      SELECT e.vec_id, e.v, c.cluster,
+             list_sum(list_transform(list_zip(e.v, c.cvec),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      FROM vecs e CROSS JOIN cent c
+    ), assigned AS (
+      SELECT * FROM (
+        SELECT vec_id, v, cluster, d2,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY {sql_round_half_up("d2", 6)}, cluster) AS rn
+        FROM scored)
+      WHERE rn = 1
+    )
+"""
+
+
+@query(
+    "q_kmeans_assign",
+    oracle=f"""
+    WITH {_ASSIGN_CTES}
+    SELECT vec_id, cluster, {sql_round_half_up("d2", 4)} AS dist2
+    FROM assigned ORDER BY vec_id
+    """,
+)
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means assignment: every vector → nearest label-seeded centroid."""
+    vecs = _vecs(spark, sf_dir)
+    cents = _centroids_from(
+        vecs.select(F.col("label").alias("cluster"), "v"), "cluster"
+    )
+    return (
+        _assign(vecs.select("vec_id", "v"), cents)
+        .select("vec_id", "cluster", round_half_up(F.col("d2"), 4).alias("dist2"))
+        .orderBy("vec_id")
+    )
+
+
+@query(
+    "q_kmeans_refine",
+    oracle=f"""
+    WITH {_ASSIGN_CTES}, cent_cell2 AS (
+      SELECT a.cluster, dim, {sql_round_half_up("avg(a.v[dim])", 6)} AS cval
+      FROM assigned a, range(1, {DIM + 1}) t(dim)
+      GROUP BY a.cluster, dim
+    ), cent2 AS (
+      SELECT cluster, list(cval ORDER BY dim) AS cvec FROM cent_cell2 GROUP BY cluster
+    ), scored2 AS (
+      SELECT e.vec_id, c.cluster,
+             list_sum(list_transform(list_zip(e.v, c.cvec),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+      FROM vecs e CROSS JOIN cent2 c
+    ), assigned2 AS (
+      SELECT * FROM (
+        SELECT vec_id, cluster, d2,
+               row_number() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY {sql_round_half_up("d2", 6)}, cluster) AS rn
+        FROM scored2)
+      WHERE rn = 1
+    )
+    SELECT cluster, count(*) AS n_vecs,
+           {sql_round_half_up(sql_exact_decimal_sum(sql_round_half_up("d2", 6), 6), 4)} AS cost
+    FROM assigned2 GROUP BY cluster ORDER BY cluster
+    """,
+)
+def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration: assign, recompute centroids, reassign; report
+    per-cluster size and within-cluster cost (Σ d2, exact-decimal sum)."""
+    vecs = _vecs(spark, sf_dir)
+    cents0 = _centroids_from(
+        vecs.select(F.col("label").alias("cluster"), "v"), "cluster"
+    )
+    a1 = _assign(vecs.select("vec_id", "v"), cents0).select("vec_id", "v", "cluster")
+    cents1 = _centroids_from(a1, "cluster")
+    a2 = _assign(a1.select("vec_id", "v"), cents1)
+    return (
+        a2.groupBy("cluster")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            round_half_up(exact_decimal_sum(round_half_up(F.col("d2"), 6), scale=6), 4).alias("cost"),
+        )
+        .orderBy("cluster")
+    )
+
+
+@query(
+    "dedup_semantic_representative",
+    oracle=f"""
+    WITH {_ASSIGN_CTES}
+    SELECT cluster, vec_id AS rep_vec_id, n_members FROM (
+      SELECT cluster, vec_id, count(*) OVER (PARTITION BY cluster) AS n_members,
+             row_number() OVER (
+               PARTITION BY cluster
+               ORDER BY {sql_round_half_up("d2", 6)}, vec_id) AS rn
+      FROM assigned)
+    WHERE rn = 1 ORDER BY cluster
+    """,
+)
+def semantic_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup, pick step: the member nearest its centroid is the
+    cluster's representative; everything else is a candidate to drop."""
+    vecs = _vecs(spark, sf_dir)
+    cents = _centroids_from(
+        vecs.select(F.col("label").alias("cluster"), "v"), "cluster"
+    )
+    a = _assign(vecs.select("vec_id", "v"), cents)
+    w = W.partitionBy("cluster").orderBy(round_half_up(F.col("d2"), 6), F.col("vec_id"))
+    return (
+        a.withColumn("n_members", F.count("*").over(W.partitionBy("cluster")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("vec_id").alias("rep_vec_id"), "n_members")
+        .orderBy("cluster")
+    )

@@ -44,6 +44,7 @@ _OPERATOR_MODULES = [
     "sqload_spark.operators.subqueries",
     "sqload_spark.operators.advanced",
     "sqload_spark.operators.scale_ops",
+    "sqload_spark.operators.clustering",
     "sqload_spark.streaming.queries",
     "sqload_spark.streaming.stateful",
 ]
