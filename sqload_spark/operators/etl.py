@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sqload_spark.functions.rounding import round_half_up
@@ -161,6 +161,75 @@ def jdbc_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
             round_half_up(F.sum("o_totalprice"), 2).alias("total"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "etl_partition_pruning",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition PRUNING end-to-end: orders written hive-partitioned on
+    o_orderstatus, read back with an equality filter on the partition
+    column — the scan lists and reads ONLY the `o_orderstatus=F`
+    directory (PartitionFilters in the plan, asserted in
+    tests/test_plans.py). At 100 TB this is the difference between
+    reading one partition and reading the lake; the oracle (filtered
+    query on the original table) proves pruning loses nothing."""
+    od = load_table(spark, sf_dir, "orders")
+    path = os.path.join(_SCRATCH, "orders_pruned")
+    od.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), round_half_up(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "etl_upsert_latest",
+    oracle="""
+    SELECT user_id, event_type AS last_type, last_us, n_versions FROM (
+      SELECT user_id, event_type, epoch_us(ts) AS last_us,
+             count(*) OVER (PARTITION BY user_id) AS n_versions,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/upsert compaction — the MERGE half of every bulk-load pipeline:
+    collapse an append-only change stream to the LATEST row per key
+    (order by event time, tie-break by event id). One shuffle on the key,
+    then a per-partition window — no global sort. At scale this is the
+    nightly compaction that turns a log of updates into a snapshot
+    table; n_versions is the per-key log depth the compaction removed."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    w = W.partitionBy("user_id").orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+    return (
+        ev.withColumn("n_versions", F.count("*").over(W.partitionBy("user_id")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("ts_us").alias("last_us"),
+            "n_versions",
+        )
+        .orderBy("user_id")
     )
 
 

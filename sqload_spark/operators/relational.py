@@ -571,6 +571,51 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, day,
+           count(*) OVER w AS n_30d,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_30d
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+      FROM orders WHERE o_custkey <= 300
+    )
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, day, o_orderkey
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE (value-based) frame: per customer, the count and revenue of
+    that customer's orders in the trailing 30 DAYS — unlike a ROWS frame
+    the boundary is a value offset, so peers (same-day orders) enter the
+    frame together and the result is order-insensitive within ties. The
+    windowed sum goes through the exact-decimal trick because a RANGE
+    frame's summation order is engine-internal. One shuffle on the
+    partition key, then per-partition frames — the standard trailing-
+    window feature shape at any scale."""
+    od = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 300)
+    base = od.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).cast("bigint").alias("day"),
+    )
+    w = W.partitionBy("o_custkey").orderBy("day").rangeBetween(-30, 0)
+    return (
+        base.select(
+            "o_custkey",
+            "o_orderkey",
+            "day",
+            F.count("*").over(w).alias("n_30d"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("sum_30d"),
+        )
+        .orderBy("o_custkey", "day", "o_orderkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sort / top-k (planned as TakeOrderedAndProject — no global sort shuffle).
 # ---------------------------------------------------------------------------

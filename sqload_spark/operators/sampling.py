@@ -383,3 +383,52 @@ def training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("bigint").alias("total_tokens"))
         .orderBy("source")
     )
+
+
+QUOTA_PER_SOURCE = 15
+
+
+@query(
+    "q_source_quota_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('quota|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN rn <= {QUOTA_PER_SOURCE} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn <= {QUOTA_PER_SOURCE} THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source QUOTA capping — the anti-domination rule of a training
+    mix (no source may contribute more than N docs). Rank within each
+    source by md5(doc_id) — an unbiased, reproducible shuffle order — and
+    keep the first N. One shuffle on `source`; at scale the md5 rank
+    replaces any need for a global sort or per-source sampling passes,
+    and re-running with a bigger quota extends the kept set
+    monotonically (the rank order never changes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("quota|"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    kept = F.when(F.col("rn") <= QUOTA_PER_SOURCE, 1).otherwise(0)
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(kept).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("rn") <= QUOTA_PER_SOURCE, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )

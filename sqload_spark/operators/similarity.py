@@ -224,3 +224,65 @@ def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("vec_id").alias("n_id"), cosine(F.col("qv"), F.col("v")).alias("cos_raw"))
     )
     return _topk(pairs)
+
+
+KNN_K = 3
+# kNN-graph subcorpus: every 10th vector, so the graph stays brute-force
+# verifiable at bench scale while the construction is the real thing.
+KNN_PRED_SQL = "vec_id % 10 = 0"
+
+
+@query(
+    "sim_knn_graph",
+    oracle=f"""
+    WITH sub AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {KNN_PRED_SQL}
+    ), pairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_cosine_similarity(a.v, b.v) AS cos_raw
+      FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+    ), knn AS (
+      SELECT src, dst, cos_raw FROM (
+        SELECT src, dst, cos_raw,
+               row_number() OVER (PARTITION BY src ORDER BY cos_raw DESC, dst) AS rnk
+        FROM pairs)
+      WHERE rnk <= {KNN_K}
+    )
+    SELECT a.src AS vec_a, a.dst AS vec_b,
+           {sql_round_half_up("a.cos_raw", 4)} AS cos_sim
+    FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+    WHERE a.src < a.dst
+    ORDER BY vec_a, vec_b
+    """,
+)
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL k-NN graph construction — the edge set behind graph-based
+    semantic dedup and density clustering (an edge survives only if each
+    endpoint ranks the other in its top-k, which strips the hub vertices
+    that plain kNN graphs grow at scale). Shape: per-source top-k via
+    window (one shuffle on src), then the mutuality check is a self-join
+    on the k·n edge list — k·n rows, never n². On the full corpus the
+    pair stage would swap in the banded-LSH candidate miner
+    (dedup.py); the subcorpus keeps this registration brute-force so the
+    oracle is exact."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    sub = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    right = sub.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv"))
+    pairs = (
+        sub.select(F.col("vec_id").alias("src"), "v")
+        .join(F.broadcast(right), F.col("src") != F.col("dst"))
+        .select("src", "dst", cosine(F.col("v"), F.col("dv")).alias("cos_raw"))
+    )
+    w = W.partitionBy("src").orderBy(F.col("cos_raw").desc(), F.col("dst"))
+    knn = pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= KNN_K)
+    rev = knn.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    return (
+        knn.join(rev, ["src", "dst"])
+        .filter(F.col("src") < F.col("dst"))
+        .select(
+            F.col("src").alias("vec_a"),
+            F.col("dst").alias("vec_b"),
+            round_half_up(F.col("cos_raw"), 4).alias("cos_sim"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

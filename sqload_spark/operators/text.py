@@ -561,3 +561,139 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Gopher-style rule thresholds (Rae et al. 2021's "quality rules" shape,
+# re-parameterized for this corpus's vocabulary): docs fail on too-few/
+# too-many tokens, too-short mean token length, low lexical diversity, or
+# a dominant single token.
+GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS = 15, 400
+GOPHER_MIN_MEAN_LEN = 3.0
+GOPHER_MIN_TTR = 0.30
+GOPHER_MAX_TOP_SHARE = 0.20
+
+_GOPHER_ORACLE = f"""
+    WITH feats AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             list_sum(list_transform(string_split(text, ' '), t -> len(t))) AS tok_chars,
+             list_max(list_transform(list_distinct(string_split(text, ' ')),
+                 t -> len(list_filter(string_split(text, ' '), x -> x = t)))) AS top_tok
+      FROM documents
+    ), flagged AS (
+      SELECT doc_id, source,
+             CASE WHEN n_tokens < {GOPHER_MIN_TOKENS}
+                    OR n_tokens > {GOPHER_MAX_TOKENS} THEN 1 ELSE 0 END AS f_len,
+             CASE WHEN tok_chars::DOUBLE / n_tokens < {GOPHER_MIN_MEAN_LEN}
+                  THEN 1 ELSE 0 END AS f_meanlen,
+             CASE WHEN n_distinct::DOUBLE / n_tokens < {GOPHER_MIN_TTR}
+                  THEN 1 ELSE 0 END AS f_ttr,
+             CASE WHEN top_tok::DOUBLE / n_tokens > {GOPHER_MAX_TOP_SHARE}
+                  THEN 1 ELSE 0 END AS f_top
+      FROM feats)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(f_len) AS BIGINT) AS n_len_fail,
+           CAST(sum(f_meanlen) AS BIGINT) AS n_meanlen_fail,
+           CAST(sum(f_ttr) AS BIGINT) AS n_ttr_fail,
+           CAST(sum(f_top) AS BIGINT) AS n_top_fail,
+           CAST(sum(CASE WHEN f_len + f_meanlen + f_ttr + f_top = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM flagged GROUP BY source ORDER BY source
+"""
+
+
+@query("text_gopher_quality", oracle=_GOPHER_ORACLE)
+def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style RULE filter (vs text_quality_score's soft score): each
+    doc is tested against hard thresholds — token-count bounds, mean
+    token length, type-token ratio, single-token dominance — and the
+    per-source pass/fail census is reported. All four rules are array
+    expressions over one scan (the dominance rule sorts the token
+    frequency map per doc — array ops, no extra shuffle); only the
+    census aggregate shuffles. The standard first gate of a web-scale
+    curation pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    # per-doc max token frequency: sort tokens, count runs via a fold
+    top_tok = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).alias("tok_chars"),
+        top_tok.cast("bigint").alias("top_tok"),
+    )
+    f_len = F.when(
+        (F.col("n_tokens") < GOPHER_MIN_TOKENS) | (F.col("n_tokens") > GOPHER_MAX_TOKENS), 1
+    ).otherwise(0)
+    f_meanlen = F.when(
+        F.col("tok_chars").cast("double") / F.col("n_tokens") < GOPHER_MIN_MEAN_LEN, 1
+    ).otherwise(0)
+    f_ttr = F.when(
+        F.col("n_distinct").cast("double") / F.col("n_tokens") < GOPHER_MIN_TTR, 1
+    ).otherwise(0)
+    f_top = F.when(
+        F.col("top_tok").cast("double") / F.col("n_tokens") > GOPHER_MAX_TOP_SHARE, 1
+    ).otherwise(0)
+    flagged = feats.select(
+        "source",
+        f_len.alias("f_len"),
+        f_meanlen.alias("f_meanlen"),
+        f_ttr.alias("f_ttr"),
+        f_top.alias("f_top"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("f_len").cast("bigint").alias("n_len_fail"),
+            F.sum("f_meanlen").cast("bigint").alias("n_meanlen_fail"),
+            F.sum("f_ttr").cast("bigint").alias("n_ttr_fail"),
+            F.sum("f_top").cast("bigint").alias("n_top_fail"),
+            F.sum(
+                F.when(
+                    F.col("f_len") + F.col("f_meanlen") + F.col("f_ttr") + F.col("f_top") == 0, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pass"),
+        )
+        .orderBy("source")
+    )
+
+
+HIST_BIN_TOKENS = 10
+
+
+@query(
+    "q_token_histogram",
+    oracle=f"""
+    SELECT lang,
+           (len(string_split(text, ' ')) // {HIST_BIN_TOKENS}) * {HIST_BIN_TOKENS} AS bin_lo,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS bin_tokens
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY lang, bin_lo
+    """,
+)
+def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count histogram per language (fixed-width bins) — the
+    length-distribution profile that sizes chunking and packing
+    decisions. Integer bucket math, one bounded-cardinality shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens(F.col("text"))).cast("bigint")
+    bin_lo = (n_tokens - n_tokens % HIST_BIN_TOKENS).alias("bin_lo")
+    return (
+        docs.select("lang", bin_lo, n_tokens.alias("n_tokens"))
+        .groupBy("lang", "bin_lo")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("bigint").alias("bin_tokens"))
+        .orderBy("lang", "bin_lo")
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
-from sqload_spark.operators.timeseries import SESSION_GAP_US, TEN_MIN_US
+from sqload_spark.operators.timeseries import FIVE_MIN_US, SESSION_GAP_US, TEN_MIN_US
 from sqload_spark.registry import query
 from sqload_spark.streaming.windows import run_to_memory, stream_events
 
@@ -232,3 +232,38 @@ def stream_microbatch_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "stream_sliding_counts",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT (epoch_us(ts) // {FIVE_MIN_US}) * 300 AS ws_sec, value FROM events
+      UNION ALL
+      SELECT (epoch_us(ts) // {FIVE_MIN_US}) * 300 - 300 AS ws_sec, value FROM events
+    )
+    SELECT ws_sec, count(*) AS n_events,
+           {sql_round_half_up("sum(value)", 2)} AS sum_value
+    FROM assigned
+    GROUP BY ws_sec
+    ORDER BY ws_sec
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream → 10-minute windows sliding every 5 — each event lands in
+    two overlapping windows, the streaming state Spark sizes as
+    (windows × keys). Shares the batch ts_sliding_window oracle (window
+    start = epoch seconds), so the overlap assignment is hash-checked,
+    not just row-counted."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value_raw"))
+    )
+    out = run_to_memory(agg, output_mode="complete")
+    return out.select(
+        F.unix_timestamp(F.col("w.start")).alias("ws_sec"),
+        "n_events",
+        round_half_up(F.col("sum_value_raw"), 2).alias("sum_value"),
+    ).orderBy("ws_sec")

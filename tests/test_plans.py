@@ -102,3 +102,30 @@ def test_bucketed_join_has_no_exchange_before_join(spark):
     assert plan.count("SelectedBucketsCount") >= 1 or "Bucketed: true" in plan, (
         "scan did not use bucketing"
     )
+
+
+def test_partition_pruning_reads_one_partition(spark):
+    """etl_partition_pruning's read-back scan must carry the partition
+    filter (PartitionFilters on o_orderstatus) so only the F directory is
+    listed — the property that makes the query O(partition), not O(lake)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sqload_spark.operators.etl import _SCRATCH
+    from sqload_spark.sources.tables import load_table
+
+    od = load_table(spark, SF_DIR, "orders")
+    path = os.path.join(_SCRATCH, "orders_pruned_plan")
+    od.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = plan_of(spark, back.groupBy("o_orderpriority").count())
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), "partition filter not applied at scan"
+
+
+def test_knn_graph_never_builds_n_squared(spark):
+    """sim_knn_graph's mutuality self-join must run on the k·n edge list:
+    the only n×n-shaped operator allowed is the broadcast scoring join."""
+    plan = plan_of(spark, registry.QUERIES["sim_knn_graph"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, "kNN graph fell back to a cartesian product"
