@@ -57,6 +57,15 @@ HEADLINE = [
     "mm_frame_sample",
     "q_training_order",
     "q_join_bucketed_colocated",
+    # round-4 session-2 additions
+    "q_kmeans_assign",
+    "dedup_semantic_representative",
+    "sim_knn_graph",
+    "text_gopher_quality",
+    "etl_upsert_latest",
+    "etl_partition_pruning",
+    "q_partial_agg_merge",
+    "sketch_hll_merge",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

@@ -131,3 +131,48 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .fillna(0, subset=["exact_count"])
         .orderBy("probe_key")
     )
+
+
+@query("sketch_hll_merge")
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (DataSketches HLL via
+    hll_sketch_agg / hll_union_agg): each md5-bucketed shard of lineitem
+    builds an HLL sketch of its order keys; a second level unions the
+    shard sketches per return flag. The union of HLL registers is the
+    sketch of the union, so merging loses nothing structurally — but the
+    ESTIMATOR differs: an un-merged sketch answers with the HIP estimator,
+    a union must fall back to the composite estimator, so
+    `merged_estimate` and `direct_estimate` differ by a fraction of a
+    percent while BOTH sit inside the lgK=12 error bound of the exact
+    count (measured at sf0.01: merged ≤1.7% off, direct ≤1.1%;
+    tests/test_sketches.py asserts the bound). This is the 100 TB
+    distinct-count shape: shards stream in, bytes-sized states merge,
+    history is never rescanned. Rows-only for the driver: DuckDB's
+    approx_count_distinct is a different sketch with a different
+    estimate."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("hll|"), F.col("l_orderkey").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(8),
+    )
+    partials = (
+        li.withColumn("shard", shard)
+        .groupBy("l_returnflag", "shard")
+        .agg(F.hll_sketch_agg("l_orderkey", F.lit(12)).alias("sk"))
+    )
+    merged = partials.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate"),
+        F.count("*").alias("n_shards"),
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey", F.lit(12))).alias("direct_estimate")
+    )
+    return (
+        merged.join(direct, "l_returnflag")
+        .select("l_returnflag", "merged_estimate", "direct_estimate", "n_shards")
+        .orderBy("l_returnflag")
+    )

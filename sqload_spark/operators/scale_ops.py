@@ -121,3 +121,69 @@ def training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("global_pos")
     )
+
+
+N_SHARDS = 8
+
+_SHARD_SQL = (
+    "(('0x' || substr(md5('shard|' || CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT"
+    f" % {N_SHARDS})"
+)
+
+
+@query(
+    "q_partial_agg_merge",
+    oracle=f"""
+    WITH shard_partials AS (
+      SELECT {_SHARD_SQL} AS shard, l_returnflag,
+             count(*) AS n, sum(l_quantity) AS s,
+             min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           floor((sum(s)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+           min(mn) AS min_price, max(mx) AS max_price,
+           count(*) AS n_shards
+    FROM shard_partials GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level MERGEABLE aggregation — the algebra behind incremental /
+    shard-at-a-time pipelines: each md5-bucketed shard computes partial
+    states (count, sum, min, max), a second aggregation merges them.
+    count/sum/min/max are the algebraic aggregates whose merge is exact,
+    so the result equals a single global pass — which is what the oracle
+    computes through the same two levels. At 100 TB this is how nightly
+    shards fold into a running total without rescanning history;
+    n_shards per group proves every shard contributed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("shard|"), F.col("l_orderkey").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(N_SHARDS),
+    )
+    partials = (
+        li.withColumn("shard", shard)
+        .groupBy("shard", "l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("l_quantity").alias("s"),
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+    )
+    return (
+        partials.groupBy("l_returnflag")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            round_half_up(F.sum("s"), 2).alias("sum_qty"),
+            F.min("mn").alias("min_price"),
+            F.max("mx").alias("max_price"),
+            F.count("*").alias("n_shards"),
+        )
+        .orderBy("l_returnflag")
+    )

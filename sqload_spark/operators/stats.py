@@ -8,7 +8,7 @@ specific estimates) with its error bounded in tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
@@ -178,4 +178,32 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
         ORDER BY status, priority
         """
+    )
+
+
+@query(
+    "q_mode_per_group",
+    oracle="""
+    SELECT user_id, event_type AS mode_type, n FROM (
+      SELECT user_id, event_type, count(*) AS n,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity MODE (most frequent category): count per (key, category)
+    — one shuffle with map-side partials — then a window argmax with a
+    total tie-break. The grouped-argmax shape every feature pipeline
+    needs; never collects a frequency map driver-side."""
+    ev = load_table(spark, sf_dir, "events")
+    counted = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+        .orderBy("user_id")
     )

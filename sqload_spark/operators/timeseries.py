@@ -261,3 +261,50 @@ def first_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "ts_gap_fill",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) // {DAY_US} AS bucket, count(*) AS n
+      FROM events WHERE user_id <= 20 GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM b GROUP BY user_id
+    ), filled AS (
+      SELECT user_id, unnest(generate_series(lo, hi)) AS bucket FROM spans
+    )
+    SELECT f.user_id, f.bucket * 86400 AS bucket_sec,
+           coalesce(b.n, 0) AS n_events,
+           CASE WHEN b.n IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM filled f LEFT JOIN b USING (user_id, bucket)
+    ORDER BY f.user_id, bucket_sec
+    """,
+)
+def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling — the interpolation prerequisite: materialize EVERY
+    daily bucket between each entity's first and last observation, zero
+    where no events landed. The dense axis comes from
+    ``explode(sequence(lo, hi))`` per entity — generated where the entity
+    lives, so the fill adds no shuffle beyond the bucket aggregation
+    itself and parallelizes by entity at any scale. (A calendar dimension
+    join — the other classic shape — costs a broadcast instead; sequence
+    wins when spans differ wildly per entity.)"""
+    ev = _events_us(spark, sf_dir).filter(F.col("user_id") <= 20)
+    b = ev.groupBy(
+        "user_id", F.expr(f"ts_us div {DAY_US}").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    spans = b.groupBy("user_id").agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    filled = spans.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("bucket")
+    )
+    return (
+        filled.join(b, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            (F.col("bucket") * 86400).alias("bucket_sec"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).cast("bigint").alias("is_gap"),
+        )
+        .orderBy("user_id", "bucket_sec")
+    )

@@ -28,3 +28,29 @@ def test_approx_percentile_error(spark):
     df = registry.QUERIES["q_approx_percentile"](spark, SF_DIR).toPandas()
     rel_err = (df.approx_median - df.exact_median).abs() / df.exact_median
     assert (rel_err <= 0.02).all(), f"approx_percentile off: {rel_err.tolist()}"
+
+
+def test_hll_merge_equals_direct(spark):
+    """HLL merge law: the register union loses nothing structurally (the
+    estimates differ only by the HIP→composite estimator downgrade a
+    union forces), and both estimates hold the lgK=12 error bound vs the
+    exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from sqload_spark.sources.tables import load_table
+
+    df = registry.QUERIES["sketch_hll_merge"](spark, SF_DIR).toPandas()
+    # union keeps the registers but downgrades HIP → composite estimator:
+    # the two estimates differ slightly, and both must hold the error bound
+    assert (abs(df.merged_estimate - df.direct_estimate) / df.direct_estimate <= 0.03).all()
+    assert (df.n_shards == 8).all()
+    exact = (
+        load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("exact"))
+        .toPandas()
+        .set_index("l_returnflag")["exact"]
+    )
+    est = df.set_index("l_returnflag")["merged_estimate"]
+    rel_err = (est - exact).abs() / exact
+    assert (rel_err <= 0.05).all(), f"HLL lgK=12 error blown: {rel_err.to_dict()}"
