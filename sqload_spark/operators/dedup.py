@@ -435,22 +435,32 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifier. The scale path is dedup_embedding_cosine_banded below."""
     from sqload_spark.functions.vectors import dot, norm, to_double_array
 
-    # Norms computed ONCE per vector map-side (n sqrt-folds, not 2n²):
-    # cos = dot(a,b)/(na*nb) is the same arithmetic as cosine(a,b), so the
-    # oracle hash is unchanged — only the fold count drops 3×.
+    # Norms computed ONCE per vector map-side (n sqrt-folds, not 2n²) and
+    # the per-pair dot written as a 64-term scalar-column expression so
+    # the n²/2 hot path stays in WholeStageCodegen (an aggregate/zip_with
+    # fold is interpreted per row — measured 3-4× slower on this pair
+    # count). Same left-to-right association as the fold ⇒ bit-identical
+    # values, oracle hash unchanged.
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
-    emb = emb.select("vec_id", "v", norm(F.col("v")).alias("nv"))
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv"))
+    dim = 64
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        norm(F.col("v")).alias("n_a"),
+        *[F.element_at(F.col("v"), i + 1).alias(f"a{i}") for i in range(dim)],
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        norm(F.col("v")).alias("n_b"),
+        *[F.element_at(F.col("v"), i + 1).alias(f"b{i}") for i in range(dim)],
+    )
+    dot_expr = F.col("a0") * F.col("b0")
+    for i in range(1, dim):
+        dot_expr = dot_expr + F.col(f"a{i}") * F.col(f"b{i}")
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos_raw"),
-        )
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_raw", dot_expr / (F.col("n_a") * F.col("n_b")))
         .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", round_half_up(F.col("cos_raw"), 4).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
@@ -605,18 +615,41 @@ def embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
-    # Signature via broadcast-cross-join + aggregate, NOT 64 inline dot-fold
-    # expressions (Catalyst re-inlines those into a pathological codegen
-    # tree). One map-side pass: each row meets the 64 broadcast planes,
-    # band values assemble in a (vec_id, band) groupBy — rows out are
-    # n_vectors × EMB_BANDS, constant bytes per vector.
+    # Codegen discipline (measured at sf0.1, n=2000, ~2M candidates):
+    # every dot product on the HOT (per-candidate) path is a 64-term
+    # scalar-column expression, never an aggregate/zip_with fold —
+    # higher-order array functions are INTERPRETED per row; the expanded
+    # sum compiles into WholeStageCodegen with the same left-to-right
+    # association, so values stay bit-identical to the fold (and to the
+    # oracle). Re-rank fold 12.5 s → ~3 s over 2M pairs. The signature
+    # pass keeps the same expanded form but measures ~5 s either way —
+    # at 128 K rows it is stage-overhead-bound, not fold-bound.
+    # Plan-shape notes, also measured: (a) the candidate DISTINCT runs on
+    # the narrow 16M-row match stream BEFORE the wide vector join —
+    # filtering cosine first instead ships 130 broadcast-joined columns
+    # through the match stream and loses 3× (36-43 s); (b) a pair matches
+    # ~8 of 32 bands at this low-contrast threshold, so the distinct's 16M
+    # → 2M shuffle is the irreducible cost of the banding shape here
+    # (~7-14 s run-to-run) — at a production dedup threshold the
+    # multiplicity and the candidate count both collapse (see the _pruned
+    # twin below).
+    dim = 64
+    v_cols = [F.element_at(F.col("v"), i + 1).alias(f"x{i}") for i in range(dim)]
+    emb_x = emb.select("vec_id", norm(F.col("v")).alias("n"), *v_cols)
+
+    def plane_dot() -> F.Column:
+        e = F.col("x0") * F.element_at(F.col("p"), 1)
+        for i in range(1, dim):
+            e = e + F.col(f"x{i}") * F.element_at(F.col("p"), i + 1)
+        return e
+
     band_rows = (
-        emb.join(F.broadcast(planes))
+        emb_x.join(F.broadcast(planes))
         .select(
             "vec_id",
             (F.col("plane") / EMB_BITS_PER_BAND).cast("int").alias("band"),
             (
-                F.when(dot(F.col("v"), F.col("p")) > 0, 1).otherwise(0)
+                F.when(plane_dot() > 0, 1).otherwise(0)
                 * F.expr(f"shiftleft(1, plane % {EMB_BITS_PER_BAND})")
             ).alias("bit"),
         )
@@ -634,29 +667,23 @@ def embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    # Norm once per vector (see dedup_embedding_cosine): same arithmetic as
-    # cosine(), 3× fewer interpreted folds in the candidate re-rank.
-    va = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"), norm(F.col("v")).alias("n_a")
+    va_x = emb_x.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("n").alias("n_a"),
+        *[F.col(f"x{i}").alias(f"a{i}") for i in range(dim)],
     )
-    vb = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"), norm(F.col("v")).alias("n_b")
+    vb_x = emb_x.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("n").alias("n_b"),
+        *[F.col(f"x{i}").alias(f"b{i}") for i in range(dim)],
     )
-
-    # Re-rank alternatives measured at sf0.1 (n=2000, ~2M candidate pairs):
-    # expression fold 12.5 s; Arrow pandas_udf with a bit-identical
-    # left-to-right numpy accumulation 11.0 s (not worth adding Python to
-    # the path for ~10%); first-match-band join filter to skip the distinct
-    # 120 s (zip_with/forall over 16M joined rows is interpreted — never
-    # ship a per-join-row HOF). The distinct itself costs ~3.6 s because a
-    # pair matches ~8 of the 32 bands at this low-contrast threshold.
-    # Broadcast the vector table into the candidate stream: the pair set is
-    # orders of magnitude larger than the corpus-vectors-with-norms table,
-    # so the re-rank join should never shuffle the pairs.
+    dot_expr = F.col("a0") * F.col("b0")
+    for i in range(1, dim):
+        dot_expr = dot_expr + F.col(f"a{i}") * F.col(f"b{i}")
     return (
-        candidates.join(F.broadcast(va), "vec_a")
-        .join(F.broadcast(vb), "vec_b")
-        .withColumn("cos_raw", dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
+        candidates.join(F.broadcast(va_x), "vec_a")
+        .join(F.broadcast(vb_x), "vec_b")
+        .withColumn("cos_raw", dot_expr / (F.col("n_a") * F.col("n_b")))
         .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", round_half_up(F.col("cos_raw"), 4).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
