@@ -807,3 +807,85 @@ def incremental_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- cross-document exact span dedup ---------------------------------------
+# Block-granular exact substring dedup (the Lee et al. "Deduplicating
+# Training Data Makes Language Models Better" shape, with the suffix array
+# replaced by fixed 8-token blocks — the practical distributed variant):
+# find token spans that occur verbatim in more than one document and score
+# every document by its duplicated-span fraction. Catches copy-paste
+# contamination that whole-doc MinHash misses when the surrounding text
+# differs.
+
+SPAN_TOKENS = 8
+
+_SPAN_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), blocks AS (
+      SELECT doc_id, unnest(range(0, len(t) // {n})) AS i, t FROM toks
+    ), keyed AS (
+      SELECT doc_id, md5(array_to_string(t[(i*{n}+1):(i*{n}+{n})], ' ')) AS bkey
+      FROM blocks
+    ), spread AS (
+      SELECT bkey, count(DISTINCT doc_id) AS nd FROM keyed GROUP BY bkey
+    )
+    SELECT k.doc_id,
+           count(*) AS n_blocks,
+           CAST(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+           {frac} AS dup_frac
+    FROM keyed k JOIN spread s USING (bkey)
+    GROUP BY k.doc_id
+    ORDER BY doc_id
+""".format(
+    n=SPAN_TOKENS,
+    frac=sql_round_half_up(
+        "sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)", 4
+    ),
+)
+
+
+@query("dedup_exact_spans", oracle=_SPAN_ORACLE)
+def exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span fraction over disjoint 8-token blocks.
+
+    100 TB shape: block extraction is a map-side explode (each doc emits
+    n_tokens/8 rows of one 32-byte md5 each — the tokens themselves never
+    shuffle); the only wide stages are a groupBy on the block hash (dup
+    spread) and the per-doc re-aggregation. Joining the spread back on the
+    block hash is shuffle-on-32-bytes — at production scale the spread side
+    would first drop nd=1 rows (the overwhelming majority) and the join
+    becomes a small anti/semi pattern; here the full join keeps every doc
+    in the output so the oracle covers the zeros too."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_blocks = F.floor(F.size(toks) / F.lit(SPAN_TOKENS)).cast("int")
+    # sequence(0, -1) would DESCEND in Spark — docs shorter than one block
+    # must yield an empty array (mirrors DuckDB's empty range()).
+    idx = F.when(n_blocks >= 1, F.sequence(F.lit(0), n_blocks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    keyed = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(toks, i * SPAN_TOKENS + 1, SPAN_TOKENS))
+                ),
+            )
+        ).alias("bkey"),
+    )
+    spread = keyed.groupBy("bkey").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.when(F.col("nd") > 1, 1).otherwise(0)
+    return (
+        keyed.join(spread, "bkey")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(dup).cast("bigint").alias("n_dup_blocks"),
+            round_half_up(F.sum(dup).cast("double") / F.count("*"), 4).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -697,3 +697,65 @@ def token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("bigint").alias("bin_tokens"))
         .orderBy("lang", "bin_lo")
     )
+
+
+# --- unigram language-model quality score ----------------------------------
+# The CCNet/Dolma-style LM quality gate, with the KenLM model replaced by
+# the corpus's own unigram distribution (nothing external to ship): train =
+# one token-count aggregation, score = average negative log-likelihood per
+# document. Docs full of rare tokens (high avg_nll) are the "surprising"
+# tail a quality filter inspects; docs of pure boilerplate score low.
+
+_UNIGRAM_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+    ), vocab AS (
+      SELECT term, count(*) AS c FROM tok GROUP BY term
+    ), total AS (
+      SELECT count(*) AS t FROM tok
+    )
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+           {score} AS avg_nll
+    FROM tf JOIN vocab USING (term) CROSS JOIN total
+    GROUP BY tf.doc_id
+    ORDER BY doc_id
+""".format(
+    score=sql_round_half_up("sum(tf.tf * -ln(vocab.c / total.t)) / sum(tf.tf)", 4)
+)
+
+
+@query("text_unigram_logprob", oracle=_UNIGRAM_ORACLE)
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average negative log-likelihood under the corpus's own
+    unigram LM.
+
+    Two-pass shape that holds at 100 TB: pass 1 trains the model (token →
+    count), a groupBy whose output is the VOCABULARY — Zipf-bounded, tiny
+    relative to the corpus — so it broadcasts back; pass 2 re-joins term
+    frequencies to the broadcast model and aggregates per doc (one shuffle
+    on doc_id for the tf groupBy, one for the score agg). The corpus total
+    is a scalar literal-free broadcast cross join, never a collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    vocab = tok.groupBy("term").agg(F.count("*").alias("c"))
+    total = tok.agg(F.count("*").alias("t"))
+    nll = -F.log(F.col("c") / F.col("t"))
+    return (
+        tf.join(F.broadcast(vocab), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            (F.sum(F.col("tf") * nll) / F.sum("tf")).alias("nll_raw"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            round_half_up(F.col("nll_raw"), 4).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )

@@ -47,6 +47,7 @@ _OPERATOR_MODULES = [
     "sqload_spark.operators.clustering",
     "sqload_spark.streaming.queries",
     "sqload_spark.streaming.stateful",
+    "sqload_spark.streaming.joins",
 ]
 
 _loaded = False
