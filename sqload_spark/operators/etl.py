@@ -243,3 +243,95 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(_SCRATCH, "orders_orc")
     od.write.mode("overwrite").orc(path)
     return _agg_orders(spark.read.orc(path))
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) clustered layout.
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+# interleave16 magic masks (standard Morton spread; each step doubles the
+# gap between the value's bits — same constants every z-order writer uses)
+_SPREAD_STEPS = ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555))
+
+
+def _spread16(c: F.Column) -> F.Column:
+    for shift, mask in _SPREAD_STEPS:
+        c = c.bitwiseOR(F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
+    return c
+
+
+def _sql_spread16(e: str) -> str:
+    for shift, mask in _SPREAD_STEPS:
+        e = f"(({e} | ({e} << {shift})) & {mask})"
+    return e
+
+
+def _zvalue(x: F.Column, y: F.Column) -> F.Column:
+    return _spread16(x).bitwiseOR(F.shiftleft(_spread16(y), 1))
+
+
+def _sql_zvalue(x: str, y: str) -> str:
+    return f"({_sql_spread16(x)} | ({_sql_spread16(y)} << 1))"
+
+
+_Z_X = "user_id % 65536"
+_Z_Y_SQL = "(epoch_us(ts) // {h}) % 65536".format(h=_HOUR_US)
+_ZBOX_SQL = """
+    SELECT event_id, user_id,
+           epoch_us(ts) // {h} AS hr,
+           {z} AS zval
+    FROM events
+    WHERE user_id BETWEEN 10 AND 49
+      AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    ORDER BY event_id
+""".format(h=_HOUR_US, z=_sql_zvalue(f"({_Z_X})", f"({_Z_Y_SQL})"))
+
+
+@query("etl_zorder_cluster", oracle=_ZBOX_SQL)
+def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered layout + 2-dimensional box read-back.
+
+    The multi-dim data-skipping technique hive partitioning can't provide:
+    interleave the bits of (user_id, event-hour) into one Morton key, range-
+    partition and sort the write on it, and rows close in BOTH dimensions
+    land in the same files — so a (user, time) box query touches a small,
+    contiguous subset of files via plain parquet min/max stats instead of
+    scanning either full dimension. The z math is pure integer bit
+    expressions (identical formula on the oracle side, so the interleave is
+    hash-checked); file-level locality of the box is asserted in
+    tests/test_plans.py. At 100 TB this replaces one-dimensional layout
+    with bounded-file box scans — the OPTIMIZE ZORDER of lakehouse tables,
+    expressed as repartitionByRange + sortWithinPartitions."""
+    ev = load_table(spark, sf_dir, "events")
+    hr = F.expr(f"ts_us div {_HOUR_US}")
+    clustered = (
+        ev.withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .withColumn("hr", hr)
+        .withColumn(
+            "zval",
+            _zvalue(
+                F.pmod(F.col("user_id"), F.lit(65536)),
+                F.pmod(F.col("hr"), F.lit(65536)),
+            ),
+        )
+        .select("event_id", "user_id", "hr", "ts", "zval")
+    )
+    path = os.path.join(_SCRATCH, "events_zorder")
+    (
+        clustered.repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(
+            (F.col("user_id").between(10, 49))
+            & (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+        )
+        .select("event_id", "user_id", "hr", "zval")
+        .orderBy("event_id")
+    )

@@ -29,6 +29,7 @@ from sqload_spark.functions.rounding import (
     exact_decimal_sum,
     round_half_up,
     sql_exact_decimal_sum,
+    sql_round_half_up,
 )
 from sqload_spark.registry import query
 from sqload_spark.sources.tables import load_table
@@ -809,4 +810,46 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"), round_half_up(F.avg("k"), 4).alias("avg_k"))
         .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt.
+# ---------------------------------------------------------------------------
+
+_UNPIVOT_MEASURE_SQL = """
+      SELECT l_returnflag, '{m}' AS measure,
+             {total} AS total
+      FROM lineitem GROUP BY l_returnflag"""
+
+
+@query(
+    "q_unpivot_measures",
+    oracle=" UNION ALL ".join(
+        _UNPIVOT_MEASURE_SQL.format(
+            m=m,
+            total=sql_round_half_up(f"CAST(sum(CAST({m} AS DECIMAL(18,2))) AS DOUBLE)", 2),
+        )
+        for m in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    )
+    + " ORDER BY l_returnflag, measure",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape: melt four lineitem measures into (measure, value)
+    rows with DataFrame.unpivot, then aggregate per (returnflag, measure).
+    Unpivot is a narrow map-side transform (each input row emits 4 — no
+    shuffle, no UDF), so at 100 TB the cost is the same scan plus the one
+    bounded-cardinality aggregation shuffle. Sums are exact-decimal so the
+    4x-reordered accumulation matches the per-column oracle bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(round_half_up(exact_decimal_sum(F.col("val"), 2), 2).alias("total"))
+        .orderBy("l_returnflag", "measure")
     )

@@ -286,3 +286,57 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query("sim_topk_blas", oracle=_TOPK_ORACLE)
+def topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k with the corpus-side dot products in BLAS:
+    mapInPandas streams Arrow batches of corpus vectors, each batch is one
+    numpy (batch x 64) @ (64 x m) matrix multiply against the broadcast
+    query matrix, and only each batch's LOCAL top-k per query leaves Python
+    (k*m rows per batch, independent of batch size). A final window merge
+    picks the global top-k — the standard local-topk/merge reduction, so
+    the full pair matrix never materializes anywhere.
+
+    The query side is collected once on the driver: it is the bounded
+    "query batch" dimension (10 rows here; thousands at most in production
+    — the same small-side-to-driver pattern as a broadcast-join build), not
+    the corpus. Shares the exact brute-force oracle: BLAS reassociates the
+    64-term sums, and the result still hash-matches after the contract's
+    4-decimal rounding — measured evidence that the vectorized path is a
+    drop-in for the expression path."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q_rows = emb.filter(F.expr(QUERY_PRED_SQL)).collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_norms = np.linalg.norm(qm, axis=1)
+    bq = spark.sparkContext.broadcast((q_ids, qm, q_norms))
+
+    def local_topk(batches):
+        ids, Q, qn = bq.value
+        for pdf in batches:
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            vid = pdf["vec_id"].to_numpy()
+            cos = (V @ Q.T) / (np.linalg.norm(V, axis=1)[:, None] * qn[None, :])
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(ids)):
+                cj = cos[:, j].copy()
+                cj[vid == ids[j]] = -np.inf  # exclude self
+                order = np.lexsort((vid, -cj))[:TOP_K]
+                keep = order[np.isfinite(cj[order])]
+                out_q.append(np.full(len(keep), ids[j]))
+                out_n.append(vid[keep])
+                out_c.append(cj[keep])
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "n_id": np.concatenate(out_n),
+                    "cos_raw": np.concatenate(out_c),
+                }
+            )
+
+    pairs = emb.mapInPandas(local_topk, "q_id long, n_id long, cos_raw double")
+    return _topk(pairs)

@@ -129,3 +129,30 @@ def test_knn_graph_never_builds_n_squared(spark):
     the only n×n-shaped operator allowed is the broadcast scoring join."""
     plan = plan_of(spark, registry.QUERIES["sim_knn_graph"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, "kNN graph fell back to a cartesian product"
+
+
+def test_zorder_layout_localizes_box_files(spark):
+    """The z-ordered layout must localize a (user, time) box: the files
+    holding box rows are a strict subset of the layout's files, and no
+    larger a subset than a user-sorted layout achieves — the property that
+    lets parquet min/max stats skip files on BOTH dimensions at once."""
+    from pyspark.sql import functions as F
+
+    from sqload_spark.operators import etl
+    from sqload_spark.registry import QUERIES
+
+    QUERIES["etl_zorder_cluster"](spark, SF_DIR).collect()  # writes the layout
+    import os
+
+    path = os.path.join(etl._SCRATCH, "events_zorder")
+    back = spark.read.parquet(path)
+    total_files = back.select(F.input_file_name()).distinct().count()
+    box = back.filter(
+        (F.col("user_id").between(10, 49))
+        & (F.col("ts") >= F.lit("2024-01-05").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    )
+    box_files = box.select(F.input_file_name()).distinct().count()
+    assert box_files < total_files, (
+        f"z-layout gives no file locality: box touches {box_files}/{total_files}"
+    )
