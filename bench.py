@@ -66,6 +66,12 @@ HEADLINE = [
     "etl_partition_pruning",
     "q_partial_agg_merge",
     "sketch_hll_merge",
+    # round-4 session-3 additions
+    "text_unigram_logprob",
+    "dedup_exact_spans",
+    "sim_topk_blas",
+    "etl_zorder_cluster",
+    "q_unpivot_measures",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

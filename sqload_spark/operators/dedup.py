@@ -889,3 +889,71 @@ def exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_CLUSTER_SIZES_ORACLE = f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   for i in range(1, len(t) - 1)])) AS sh
+      FROM toks
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT da, db FROM inter
+      JOIN cnt ca ON da = ca.doc_id
+      JOIN cnt cb ON db = cb.doc_id
+      WHERE i::DOUBLE / (ca.n + cb.n - i) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT da AS a, db AS b FROM pairs
+      UNION SELECT db, da FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+      SELECT a AS doc_id, least(a, min(b)) AS keep_doc_id
+      FROM reach GROUP BY a
+    ),
+    clusters AS (
+      SELECT keep_doc_id, count(*) AS cluster_size FROM labels GROUP BY keep_doc_id
+    )
+    SELECT cluster_size,
+           count(*) AS n_clusters,
+           CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+           CAST(sum(cluster_size - 1) AS BIGINT) AS n_removable
+    FROM clusters
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+"""
+
+
+@query("dedup_cluster_sizes", oracle=_CLUSTER_SIZES_ORACLE)
+def cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size census — the dedup REPORT that sizes the
+    decision every curation run makes: how many docs sit in clusters of
+    2, 3, …, and how many rows deduplication would remove
+    (`n_removable` = Σ(size-1)). Reuses the LSH-mined connected
+    components (component_labels); the two extra aggregations are on the
+    label table, whose cardinality is docs-in-dup-pairs, not the corpus.
+    Oracle extends the recursive-CTE components with the same census."""
+    labels = component_labels(load_table(spark, sf_dir, "documents"))
+    clusters = labels.groupBy("keep_doc_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum("cluster_size").cast("bigint").alias("n_docs"),
+            F.sum(F.col("cluster_size") - 1).cast("bigint").alias("n_removable"),
+        )
+        .orderBy("cluster_size")
+    )

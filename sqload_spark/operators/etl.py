@@ -335,3 +335,56 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "hr", "zval")
         .orderBy("event_id")
     )
+
+
+@query(
+    "src_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), v2 AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 2 = 1
+    ), unioned AS (
+      SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    )
+    SELECT coalesce(o_orderstatus, '<missing>') AS status,
+           count(*) AS n_orders,
+           floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
+    FROM unioned
+    GROUP BY 1
+    ORDER BY status
+    """,
+)
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: a table written in two generations (v1 lacks
+    a column that v2 added) read back as ONE DataFrame with mergeSchema —
+    the v1 files surface the new column as NULL. This is how a 100 TB
+    lakehouse table evolves in place: no rewrite of old files, the footer
+    union is computed once at planning, and per-file projection adapts.
+    The oracle replays the same evolution as a UNION ALL with a NULL
+    literal, proving no rows or values are disturbed by the merge."""
+    od = load_table(spark, sf_dir, "orders")
+    path = os.path.join(_SCRATCH, "orders_evolving")
+    (
+        od.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    (
+        od.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .write.mode("append")
+        .parquet(path)
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy(F.coalesce(F.col("o_orderstatus"), F.lit("<missing>")).alias("status"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("status")
+    )

@@ -308,3 +308,115 @@ def gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "bucket_sec")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics: conversion funnel + retention cohorts.
+# ---------------------------------------------------------------------------
+
+WEEK_US = 7 * DAY_US
+
+
+@query(
+    "ts_funnel_stages",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, min(epoch_us(ts)) AS s_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS c_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > s.s_ts
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_ts
+      GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage, 'signup' AS stage_name, count(*) AS n_users FROM s
+      UNION ALL
+      SELECT 2, 'click_after_signup', count(*) FROM c
+      UNION ALL
+      SELECT 3, 'purchase_after_click', count(*) FROM p
+    ) ORDER BY stage
+    """,
+)
+def funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase: a user counts
+    for stage k only with a stage-k event STRICTLY AFTER their stage-(k-1)
+    entry time. Each stage is one filtered aggregation joined to the
+    previous stage's (user, ts) frontier — k shuffles on user_id total,
+    never a per-user sort or event collection, so the funnel holds at
+    billions of events. Integer-µs comparisons end to end."""
+    ev = _events_us(spark, sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("s_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts_us") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_us") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_ts"))
+    )
+
+    def stage(df: DataFrame, k: int, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(k).alias("stage"), F.lit(name).alias("stage_name"), "n_users"
+        )
+
+    return (
+        stage(s, 1, "signup")
+        .unionAll(stage(c, 2, "click_after_signup"))
+        .unionAll(stage(p, 3, "purchase_after_click"))
+        .orderBy("stage")
+    )
+
+
+@query(
+    "ts_retention_cohorts",
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id, min(epoch_us(ts)) // {WEEK_US} AS cohort_wk
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_wk,
+           epoch_us(e.ts) // {WEEK_US} - f.cohort_wk AS wk_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY cohort_wk, wk_offset
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users cohorted by first-activity week, activity
+    counted per week offset. Two aggregations (per-user first week, then
+    distinct users per (cohort, offset)) + one shuffle-join on user_id —
+    the cohort table a growth dashboard recomputes daily over the full
+    event history, so the bounded-shuffle shape is the point at scale."""
+    ev = _events_us(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.expr(f"min(ts_us) div {WEEK_US}").alias("cohort_wk")
+    )
+    return (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_wk",
+            (F.expr(f"ts_us div {WEEK_US}") - F.col("cohort_wk")).alias("wk_offset"),
+        )
+        .groupBy("cohort_wk", "wk_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_wk", "wk_offset")
+    )
