@@ -656,6 +656,14 @@ def embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "band")
         .agg(F.sum("bit").alias("bv"))
     )
+    # Persist the signature table before the self-join: unlike the MinHash
+    # bands (where persist-vs-recompute measured a wash), the 64-term plane
+    # dots make this pass expensive enough that computing it for BOTH join
+    # sides dominates — measured at sf0.1: recompute 12.4-15.2 s vs persist
+    # 5.8-10.3 s for the full query. The materialization is (n x 32) rows
+    # of three scalars — trivially cacheable at any corpus size.
+    band_rows = band_rows.persist()
+    band_rows.count()  # bounded driver action: materializes the cache
     a, b = band_rows.alias("a"), band_rows.alias("b")
     candidates = (
         a.join(
