@@ -72,6 +72,13 @@ HEADLINE = [
     "sim_topk_blas",
     "etl_zorder_cluster",
     "q_unpivot_measures",
+    "ts_ewma",
+    "sim_pagerank_knn",
+    "q_profile_columns",
+    "text_inverted_index",
+    "ts_funnel_stages",
+    "ts_retention_cohorts",
+    "dedup_cluster_sizes",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

@@ -349,3 +349,114 @@ def topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = emb.mapInPandas(local_topk, "q_id long, n_id long, cos_raw double")
     return _topk(pairs)
+
+
+PR_DAMP = 0.85
+PR_ITERS = 3
+
+_PR_EDGE_CTES = f"""
+    WITH sub AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {KNN_PRED_SQL}
+    ), allpairs AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_cosine_similarity(a.v, b.v) AS cos_raw
+      FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+    ), knn AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY cos_raw DESC, dst) AS rnk
+        FROM allpairs)
+      WHERE rnk <= {KNN_K}
+    ), edges AS (
+      SELECT a.src, a.dst FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+    ), deg AS (
+      SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+    ), nodes AS (
+      SELECT src AS vec_id FROM deg
+    ), n AS (
+      SELECT count(*) AS n_nodes FROM nodes
+    )"""
+
+
+def _pr_iter_sql(prev: str, k: int) -> str:
+    return f""", {prev}_out AS (
+      SELECT e.dst AS vec_id, sum(p.pr / d.outdeg) AS inflow
+      FROM edges e JOIN {prev} p ON e.src = p.vec_id JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ), pr{k} AS (
+      SELECT nodes.vec_id,
+             (1 - {PR_DAMP}) / n.n_nodes + {PR_DAMP} * coalesce(o.inflow, 0.0) AS pr
+      FROM nodes CROSS JOIN n LEFT JOIN {prev}_out o ON nodes.vec_id = o.vec_id
+    )"""
+
+
+_PR_ORACLE = (
+    _PR_EDGE_CTES
+    + ", pr0 AS (SELECT nodes.vec_id, 1.0 / n.n_nodes AS pr FROM nodes CROSS JOIN n)"
+    + "".join(_pr_iter_sql(f"pr{k}", k + 1) for k in range(PR_ITERS))
+    + f"""
+    SELECT p.vec_id, {sql_round_half_up("p.pr", 6)} AS pr, d.outdeg
+    FROM pr{PR_ITERS} p JOIN deg d ON p.vec_id = d.src
+    ORDER BY pr DESC, vec_id
+    """
+)
+
+
+@query("sim_pagerank_knn", oracle=_PR_ORACLE)
+def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the mutual-kNN graph — the centrality score that ranks
+    'prototypical' corpus members (dense semantic neighborhoods) vs
+    outliers, used to pick representatives and spot junk clusters.
+
+    {PR_ITERS} unrolled power iterations at damping {PR_DAMP}: each is one
+    join of the rank vector to the edge list + a groupBy on dst — the
+    standard Pregel-free DataFrame PageRank, O(E) shuffle per iteration,
+    nothing driver-side. Restricted to nodes with ≥1 mutual edge so every
+    node has outdegree (no dangling-mass term). The oracle replays the
+    identical unrolled iterations as chained CTEs, so the iterative
+    computation itself is hash-checked."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    sub = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
+    right = sub.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv"))
+    pairs = (
+        sub.select(F.col("vec_id").alias("src"), "v")
+        .join(F.broadcast(right), F.col("src") != F.col("dst"))
+        .select("src", "dst", cosine(F.col("v"), F.col("dv")).alias("cos_raw"))
+    )
+    w = W.partitionBy("src").orderBy(F.col("cos_raw").desc(), F.col("dst"))
+    knn = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KNN_K)
+        .select("src", "dst")
+    )
+    rev = knn.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
+    edges = knn.join(rev, ["src", "dst"]).persist()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = deg.select(F.col("src").alias("vec_id"))
+    n = nodes.agg(F.count("*").alias("n_nodes"))
+    pr = nodes.crossJoin(F.broadcast(n)).select(
+        "vec_id", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        inflow = (
+            edges.join(pr.withColumnRenamed("vec_id", "src"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("vec_id"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("inflow"))
+        )
+        pr = (
+            nodes.crossJoin(F.broadcast(n))
+            .join(inflow, "vec_id", "left")
+            .select(
+                "vec_id",
+                (
+                    (1 - PR_DAMP) / F.col("n_nodes")
+                    + PR_DAMP * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.join(deg.withColumnRenamed("src", "vec_id"), "vec_id")
+        .select("vec_id", round_half_up(F.col("pr"), 6).alias("pr"), "outdeg")
+        .orderBy(F.col("pr").desc(), "vec_id")
+    )

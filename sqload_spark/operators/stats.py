@@ -207,3 +207,52 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("event_type").alias("mode_type"), "n")
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling (the ANALYZE-TABLE shape).
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+_PROFILE_MEASURE_SQL = """
+      SELECT '{c}' AS col_name,
+             count(*) AS n_rows,
+             count({c}) AS n_nonnull,
+             count(DISTINCT {c}) AS n_distinct,
+             CAST(min({c}) AS VARCHAR) AS min_str,
+             CAST(max({c}) AS VARCHAR) AS max_str
+      FROM orders"""
+
+
+@query(
+    "q_profile_columns",
+    oracle=" UNION ALL ".join(
+        _PROFILE_MEASURE_SQL.format(c=c) for c in _PROFILE_COLS
+    )
+    + " ORDER BY col_name",
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile report (row/non-null/distinct counts, min/max as
+    strings) for five orders columns — the table-statistics pass every
+    ingest runs before partitioning and every optimizer feeds on. One
+    aggregation per column over a single cached scan, unioned; at scale
+    each is a partial-aggregated pass with bounded output, and the distinct
+    counts are the only shuffles (swap in approx_count_distinct when
+    estimates suffice — the exact form here is what the oracle can check).
+    Values stringified so one schema carries numeric and varchar columns."""
+    od = load_table(spark, sf_dir, "orders")
+
+    def one(c: str) -> DataFrame:
+        return od.agg(
+            F.count("*").alias("n_rows"),
+            F.count(c).alias("n_nonnull"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_str"),
+            F.max(c).cast("string").alias("max_str"),
+        ).select(F.lit(c).alias("col_name"), "*")
+
+    out = one(_PROFILE_COLS[0])
+    for c in _PROFILE_COLS[1:]:
+        out = out.unionByName(one(c))
+    return out.orderBy("col_name")

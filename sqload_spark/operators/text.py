@@ -759,3 +759,52 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- inverted index ---------------------------------------------------------
+
+IDX_MIN_DF = 200  # index only corpus-common terms so postings stay printable
+
+
+@query(
+    "text_inverted_index",
+    oracle=f"""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), df AS (
+      SELECT term, count(*) AS doc_freq FROM tok GROUP BY term
+    )
+    SELECT t.term AS term,
+           d.doc_freq,
+           array_to_string(list(t.doc_id ORDER BY t.doc_id)[1:20], ',') AS postings_head
+    FROM tok t JOIN df d ON t.term = d.term
+    WHERE d.doc_freq >= {IDX_MIN_DF}
+    GROUP BY t.term, d.doc_freq
+    ORDER BY t.term
+    """,
+)
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → sorted posting list of doc_ids (head
+    shown as a string so the oracle hash covers list content AND order).
+    The search-index construction pass: explode to (doc, term), distinct,
+    then ONE groupBy(term) collecting sorted postings — at 100 TB the
+    posting lists for frequent terms are the skew hazard, which is why
+    real indexes shard postings by (term, doc_id range); the df filter
+    here bounds the output, not the build."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("term")
+    ).distinct()
+    grouped = tok.groupBy("term").agg(
+        F.count("*").alias("doc_freq"),
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20).alias("head"),
+    )
+    return (
+        grouped.filter(F.col("doc_freq") >= IDX_MIN_DF)
+        .select(
+            "term",
+            "doc_freq",
+            F.array_join(F.col("head"), ",").alias("postings_head"),
+        )
+        .orderBy("term")
+    )

@@ -420,3 +420,60 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_active"))
         .orderBy("cohort_wk", "wk_offset")
     )
+
+
+EWMA_WINDOW = 16
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+    WITH lagged AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW) AS lst
+      FROM events WHERE user_id <= 20
+    )
+    SELECT user_id, ts_us, event_id,
+           {sql_round_half_up(
+               "list_sum(list_transform(lst, (x, i) -> x * 2.0 ** (i - len(lst))))"
+               " / list_sum(list_transform(lst, (x, i) -> 2.0 ** (i - len(lst))))", 4)} AS ewma
+    FROM lagged
+    ORDER BY user_id, ts_us, event_id
+    """,
+)
+def ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2) over each user's
+    trailing {EWMA_WINDOW} events. The weights are exact powers of two, so
+    the weighted terms are bit-identical across engines and the 4dp-rounded
+    result hash-checks — the trick that makes an 'exponential' operator
+    oracle-safe. Shape: one shuffle on user_id, then a bounded window frame
+    (collect of ≤{EWMA_WINDOW} doubles per row) — no per-user sort beyond
+    the window, state bounded by the frame length at any scale."""
+    ev = _events_us(spark, sf_dir).filter(F.col("user_id") <= 20)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-(EWMA_WINDOW - 1), 0)
+    )
+    lst = F.collect_list("value").over(w)
+    weighted = F.aggregate(
+        F.transform(lst, lambda x, i: x * F.pow(F.lit(2.0), i + 1 - F.size(lst))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wsum = F.aggregate(
+        F.transform(lst, lambda x, i: F.pow(F.lit(2.0), i + 1 - F.size(lst))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        ev.select(
+            "user_id",
+            "ts_us",
+            "event_id",
+            round_half_up(weighted / wsum, 4).alias("ewma"),
+        )
+        .orderBy("user_id", "ts_us", "event_id")
+    )

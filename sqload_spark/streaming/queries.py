@@ -267,3 +267,100 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         round_half_up(F.col("sum_value_raw"), 2).alias("sum_value"),
     ).orderBy("ws_sec")
+
+
+@query(
+    "stream_upsert_compaction",
+    oracle="""
+    SELECT user_id, event_type AS last_type, last_us, n_versions FROM (
+      SELECT user_id, event_type, epoch_us(ts) AS last_us,
+             count(*) OVER (PARTITION BY user_id) AS n_versions,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def stream_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert: the change log arrives in micro-batches
+    (maxFilesPerTrigger=1 over md5-bucket files) and foreachBatch MERGES
+    each batch into a persistent per-key snapshot — latest row wins by
+    (event time, event id), plus a running version count. The merge is a
+    commutative monoid (max-struct ⊕ sum), so the final snapshot is
+    batch-split-invariant and must equal the batch compaction
+    (etl_upsert_latest's oracle) — which makes the incremental MERGE
+    itself hash-checked, not just row-counted. Alternating snapshot
+    directories stand in for the table format's atomic commit; all merge
+    work is distributed joins, nothing driver-side."""
+    import tempfile
+
+    from sqload_spark.sources.tables import load_table
+
+    n_buckets = 4
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("up|"), F.col("event_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        bucket.alias("bucket"),
+    )
+    in_dir = tempfile.mkdtemp(prefix="sqload_up_in_")
+    snap_root = tempfile.mkdtemp(prefix="sqload_up_snap_")
+    for b in range(n_buckets):
+        ev.filter(F.col("bucket") == b).coalesce(1).write.mode("append").parquet(in_dir)
+
+    state = {"cur": None}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_versions"),
+            F.max(F.struct("ts_us", "event_id", "event_type")).alias("latest"),
+        )
+        if state["cur"] is not None:
+            prev = batch_df.sparkSession.read.parquet(state["cur"])
+            b = (
+                prev.withColumnRenamed("n_versions", "n_prev")
+                .withColumnRenamed("latest", "l_prev")
+                .join(b, "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce(F.col("n_prev"), F.lit(0))
+                        + F.coalesce(F.col("n_versions"), F.lit(0))
+                    ).alias("n_versions"),
+                    F.greatest(F.col("l_prev"), F.col("latest")).alias("latest"),
+                )
+            )
+        nxt = f"{snap_root}/v{batch_id}"
+        b.write.mode("overwrite").parquet(nxt)
+        state["cur"] = nxt
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, event_type string, ts_us long, bucket long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sqload_up_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snap = spark.read.parquet(state["cur"])
+    return snap.select(
+        "user_id",
+        F.col("latest.event_type").alias("last_type"),
+        F.col("latest.ts_us").alias("last_us"),
+        "n_versions",
+    ).orderBy("user_id")
