@@ -79,6 +79,13 @@ HEADLINE = [
     "ts_funnel_stages",
     "ts_retention_cohorts",
     "dedup_cluster_sizes",
+    "ts_transition_matrix",
+    "q_equidepth_histogram",
+    "q_winsorize",
+    "etl_file_sizing",
+    "src_schema_evolution",
+    "stream_upsert_compaction",
+    "stream_stream_interval_join",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

@@ -388,3 +388,64 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+FILE_SIZE_ROWS = 4096
+
+
+@query(
+    "etl_file_sizing",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_orderkey,
+             (row_number() OVER (ORDER BY o_orderkey) - 1) // {FILE_SIZE_ROWS} AS f
+      FROM orders
+    )
+    SELECT f + 1 AS file_seq,
+           count(*) AS n_rows,
+           min(o_orderkey) AS lo_key,
+           max(o_orderkey) AS hi_key
+    FROM ranked
+    GROUP BY f
+    ORDER BY file_seq
+    """,
+)
+def file_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-size control: write orders sorted by key with
+    maxRecordsPerFile={FILE_SIZE_ROWS} and verify from the READ-BACK (one
+    row per physical file via input_file_name) that every file holds
+    exactly the expected contiguous key chunk. Small-file management is a
+    first-class 100 TB concern — unbounded tiny files destroy scan and
+    listing performance, oversized files break parallelism — and this
+    proves the knob produces the planned layout, file for file. Single
+    output partition here so chunking is total-order-deterministic; in
+    production the same option applies per partition."""
+    od = load_table(spark, sf_dir, "orders")
+    path = os.path.join(_SCRATCH, "orders_sized")
+    (
+        od.select("o_orderkey")
+        .coalesce(1)
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", FILE_SIZE_ROWS)
+        .parquet(path)
+    )
+    per_file = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("fname"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").alias("lo_key"),
+            F.max("o_orderkey").alias("hi_key"),
+        )
+    )
+    w = W.orderBy("lo_key")
+    return (
+        per_file.select(
+            F.row_number().over(w).cast("bigint").alias("file_seq"),
+            "n_rows",
+            "lo_key",
+            "hi_key",
+        )
+        .orderBy("file_seq")
+    )

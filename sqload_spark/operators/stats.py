@@ -256,3 +256,92 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in _PROFILE_COLS[1:]:
         out = out.unionByName(one(c))
     return out.orderBy("col_name")
+
+
+N_HIST_BUCKETS = 10
+
+
+@query(
+    "q_equidepth_histogram",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT o_totalprice,
+             ntile({N_HIST_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT bucket,
+           count(*) AS n_rows,
+           {sql_round_half_up("min(o_totalprice)", 2)} AS lo,
+           {sql_round_half_up("max(o_totalprice)", 2)} AS hi
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of order totals ({N_HIST_BUCKETS} buckets with
+    equal row counts, bounds reported) — the optimizer statistic that
+    survives skew where equi-width bins collapse. ntile with a unique
+    tie-break makes bucket assignment total and cross-engine identical.
+    Note the global sort: exact equi-depth is inherently a total order —
+    at 100 TB you run this on a sample or swap in approx_percentile
+    bounds; the exact form is what the oracle can check."""
+    od = load_table(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        od.select("o_totalprice", F.ntile(N_HIST_BUCKETS).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            round_half_up(F.min("o_totalprice"), 2).alias("lo"),
+            round_half_up(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "q_winsorize",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT quantile_cont(o_totalprice, 0.01) AS p01,
+             quantile_cont(o_totalprice, 0.99) AS p99
+      FROM orders
+    )
+    SELECT o.o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN o.o_totalprice < b.p01 OR o.o_totalprice > b.p99
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           {sql_round_half_up("avg(o.o_totalprice)", 4)} AS mean_raw,
+           {sql_round_half_up(
+               "avg(greatest(b.p01, least(b.p99, o.o_totalprice)))", 4)} AS mean_winsor
+    FROM orders o CROSS JOIN bounds b
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+def winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized means: clip order totals at the exact [P1, P99] bounds
+    and report raw vs clipped means per status — the outlier-robust
+    aggregation a metrics pipeline applies before averaging heavy-tailed
+    values. The bounds are ONE tiny percentile aggregate broadcast back
+    (cross join of a 1-row frame), so the clip pass stays map-side;
+    percentile_cont's linear interpolation is identical in both engines."""
+    od = load_table(spark, sf_dir, "orders")
+    bounds = od.agg(
+        F.expr("percentile(o_totalprice, 0.01)").alias("p01"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+    clipped = F.greatest(F.col("p01"), F.least(F.col("p99"), F.col("o_totalprice")))
+    out_of = (F.col("o_totalprice") < F.col("p01")) | (F.col("o_totalprice") > F.col("p99"))
+    return (
+        od.crossJoin(F.broadcast(bounds))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(out_of, 1).otherwise(0)).cast("bigint").alias("n_clipped"),
+            round_half_up(F.avg("o_totalprice"), 4).alias("mean_raw"),
+            round_half_up(F.avg(clipped), 4).alias("mean_winsor"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -477,3 +477,50 @@ def ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts_us", "event_id")
     )
+
+
+@query(
+    "ts_transition_matrix",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+      FROM events
+    ), trans AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           {sql_round_half_up(
+               "n::DOUBLE / sum(n) OVER (PARTITION BY prev_type)", 4)} AS p
+    FROM trans
+    ORDER BY prev_type, next_type
+    """,
+)
+def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: count (prev → next) pairs, normalize per source state. The
+    behavioral fingerprint a product-analytics pipeline recomputes over
+    the full history — one shuffle on user_id for the lag, one bounded
+    (|types|²) aggregation; the normalizing window runs on the tiny
+    transition table, never the events."""
+    ev = _events_us(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    trans = (
+        ev.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wp = W.partitionBy("prev_type")
+    return (
+        trans.select(
+            "prev_type",
+            "next_type",
+            "n",
+            round_half_up(F.col("n").cast("double") / F.sum("n").over(wp), 4).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
