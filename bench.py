@@ -86,6 +86,8 @@ HEADLINE = [
     "src_schema_evolution",
     "stream_upsert_compaction",
     "stream_stream_interval_join",
+    "dedup_edit_distance",
+    "ts_window_unique_users",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

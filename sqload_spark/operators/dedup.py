@@ -965,3 +965,62 @@ def cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+_EDIT_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   for i in range(1, len(t) - 1)])) AS sh
+      FROM toks
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT da, db FROM inter
+      JOIN cnt ca ON da = ca.doc_id
+      JOIN cnt cb ON db = cb.doc_id
+      WHERE i::DOUBLE / (ca.n + cb.n - i) >= {JACCARD_THRESHOLD}
+    )
+    SELECT p.da AS doc_a, p.db AS doc_b,
+           levenshtein(substr(a.text, 1, 120), substr(b.text, 1, 120)) AS lev_120
+    FROM pairs p
+    JOIN documents a ON p.da = a.doc_id
+    JOIN documents b ON p.db = b.doc_id
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_edit_distance", oracle=_EDIT_ORACLE)
+def edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification layer over the LSH candidate pairs: the
+    character-level second opinion (OCR noise, punctuation-only diffs)
+    that token-set Jaccard is blind to, computed on 120-char prefixes so
+    the quadratic-in-length DP stays bounded per pair. Candidates come
+    from the MinHash-LSH miner — levenshtein only ever runs on the mined
+    pair list, never n² — and the integer distances are engine-exact, so
+    the whole path hash-checks against the recursive candidate oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        _lsh_verified_pairs(docs)
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    pref = docs.select("doc_id", F.substring("text", 1, 120).alias("pref"))
+    a = pref.select(F.col("doc_id").alias("doc_a"), F.col("pref").alias("pref_a"))
+    b = pref.select(F.col("doc_id").alias("doc_b"), F.col("pref").alias("pref_b"))
+    return (
+        pairs.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("pref_a", "pref_b").alias("lev_120"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -49,3 +49,22 @@ def gen_keys_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("c0") - F.min("c0") + 1).alias("key_span"),
         F.sum(F.when(F.col("c0") >= 0, 1).otherwise(0)).alias("n_keys_nonneg"),
     )
+
+
+@query("gen_datasource_table")
+def gen_datasource_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generator as a first-class Spark SOURCE (Python Data Source API):
+    `spark.read.format("sqload")` with the reference's default spec —
+    schema from the type-spec grammar at analysis time, per-partition Arrow
+    batches, bit-identical to generate_table(impl="arrow") (asserted in
+    tests/test_datasource.py). Rows-only for the driver like every
+    generator table; the laws live in the pytest suite."""
+    from sqload_spark.sources.datasource import register
+
+    register(spark)
+    return (
+        spark.read.format("sqload")
+        .option("rows", GEN_ROWS)
+        .option("seed", 42)
+        .load()
+    )

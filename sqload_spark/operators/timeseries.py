@@ -524,3 +524,32 @@ def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+@query(
+    "ts_window_unique_users",
+    oracle=f"""
+    SELECT (epoch_us(ts) // {TEN_MIN_US}) * 600 AS ws_sec,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    ORDER BY ws_sec
+    """,
+)
+def window_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique actives per tumbling window — the other classic windowed
+    metric: count-distinct inside each bucket. Exact here (the oracle can
+    check it); at 100 TB the distinct forces a (window, user) pre-shuffle,
+    so production dashboards swap in approx_count_distinct / HLL-merge
+    (sketch_hll_merge shows the mergeable form) — same plan shape."""
+    ev = _events_us(spark, sf_dir)
+    ws = F.expr(f"(ts_us div {TEN_MIN_US}) * 600")
+    return (
+        ev.groupBy(ws.alias("ws_sec"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("ws_sec")
+    )

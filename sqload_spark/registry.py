@@ -79,6 +79,18 @@ _loaded = False
 #   (streaming/queries.py), ts_gap_fill (timeseries.py), q_mode_per_group
 #   (stats.py), q_partial_agg_merge (scale_ops.py), sketch_hll_merge
 #   (advanced.py, rows-only by design).
+# Round-4 session-3 additions, likewise staged for the r5/r6 windows (all
+# oracle-green in tools/drive_entry.py and the pytest suite this round):
+#   stream_static_enrich, stream_stream_interval_join,
+#   stream_upsert_compaction (streaming/), text_unigram_logprob,
+#   text_inverted_index (text.py), dedup_exact_spans, dedup_cluster_sizes
+#   (dedup.py), sim_topk_blas, sim_pagerank_knn (similarity.py),
+#   ts_funnel_stages, ts_retention_cohorts, ts_ewma, ts_transition_matrix
+#   (timeseries.py), etl_zorder_cluster, src_schema_evolution,
+#   etl_file_sizing (etl.py), q_unpivot_measures (relational.py),
+#   q_profile_columns, q_equidepth_histogram, q_winsorize (stats.py),
+#   gen_datasource_table (generator_queries.py, rows-only by design),
+#   dedup_edit_distance (dedup.py), ts_window_unique_users (timeseries.py).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",
