@@ -88,6 +88,9 @@ HEADLINE = [
     "stream_stream_interval_join",
     "dedup_edit_distance",
     "ts_window_unique_users",
+    "mm_dedup_payload",
+    "ts_anomaly_days",
+    "sim_vector_quantize",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

@@ -186,3 +186,50 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     df = with_payload(docs).select("doc_id", "payload")
     return df.mapInPandas(_sample_frames, schema=FRAME_SCHEMA).orderBy("doc_id")
+
+
+@query(
+    "mm_dedup_payload",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'png'
+                  WHEN doc_id % 3 = 1 THEN 'jpeg'
+                  ELSE 'webp' END AS format,
+             md5(text) AS h  -- duckdb md5 hashes the utf-8 bytes = the payload
+      FROM documents
+    ), g AS (
+      SELECT format, h, count(*) AS n FROM p GROUP BY format, h
+    )
+    SELECT format,
+           CAST(sum(n) AS BIGINT) AS n_payloads,
+           count(*) AS n_distinct,
+           CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_removable
+    FROM g
+    GROUP BY format
+    ORDER BY format
+    """,
+)
+def dedup_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BINARY dedup over the multimodal payloads: content-hash the
+    bytes (md5 on the binary column, computed JVM-side — payloads never
+    reach Python or the driver), then report per-format how many payloads
+    a content-addressed store would actually keep. This is the first gate
+    of any image/audio pipeline — identical files arrive through many
+    paths — and the shuffle is 32-byte hashes, never bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = with_payload(docs).select(
+        F.col("meta.format").alias("format"), F.md5(F.col("payload")).alias("h")
+    )
+    g = p.groupBy("format", "h").agg(F.count("*").alias("n"))
+    return (
+        g.groupBy("format")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_payloads"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_removable"),
+        )
+        .orderBy("format")
+    )

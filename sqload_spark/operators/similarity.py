@@ -460,3 +460,71 @@ def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", round_half_up(F.col("pr"), 6).alias("pr"), "outdeg")
         .orderBy(F.col("pr").desc(), "vec_id")
     )
+
+
+@query(
+    "sim_vector_quantize",
+    oracle=f"""
+    WITH cells AS (
+      SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x
+      FROM embeddings, range(1, {DIM + 1}) t(dim)
+    ), stats AS (
+      SELECT dim, min(x) AS lo, max(x) AS hi FROM cells GROUP BY dim
+    ), coded AS (
+      SELECT c.dim, c.x, s.lo, (s.hi - s.lo) / 255.0 AS scale,
+             least(255, greatest(0,
+               floor((c.x - s.lo) / ((s.hi - s.lo) / 255.0) + 0.5))) AS code
+      FROM cells c JOIN stats s ON c.dim = s.dim
+    )
+    SELECT dim,
+           count(*) AS n_vecs,
+           {sql_round_half_up("min(lo)", 6)} AS lo,
+           {sql_round_half_up("max(lo + 255.0 * scale)", 6)} AS hi,
+           {sql_round_half_up("max(abs(lo + code * scale - x))", 8)} AS max_abs_err
+    FROM coded
+    GROUP BY dim
+    ORDER BY dim
+    """,
+)
+def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) quantization of the embedding corpus: per-dimension
+    [lo, hi] range (one k×dim-bounded aggregation, broadcast back), affine
+    code in 0..255, and the max reconstruction error per dimension — the
+    compression step a billion-vector store applies before ANN (4× memory
+    cut at 64-dim float32). max() is order-independent, and every quantity
+    derives from exact min/max through identical IEEE arithmetic, so the
+    whole path hash-checks — including the quantization error itself."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    cells = emb.select(
+        "vec_id", (F.posexplode(F.col("v"))).alias("pos", "x")
+    ).select((F.col("pos") + 1).alias("dim"), "x")
+    stats = cells.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    scale = (F.col("hi") - F.col("lo")) / F.lit(255.0)
+    coded = (
+        cells.join(F.broadcast(stats), "dim")
+        .withColumn("scale", scale)
+        .withColumn(
+            "code",
+            F.least(
+                F.lit(255.0),
+                F.greatest(
+                    F.lit(0.0),
+                    F.floor((F.col("x") - F.col("lo")) / F.col("scale") + 0.5),
+                ),
+            ),
+        )
+    )
+    return (
+        coded.groupBy("dim")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            round_half_up(F.min("lo"), 6).alias("lo"),
+            round_half_up(F.max(F.col("lo") + F.lit(255.0) * F.col("scale")), 6).alias("hi"),
+            round_half_up(
+                F.max(F.abs(F.col("lo") + F.col("code") * F.col("scale") - F.col("x"))), 8
+            ).alias("max_abs_err"),
+        )
+        .orderBy("dim")
+    )

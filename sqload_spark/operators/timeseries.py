@@ -553,3 +553,70 @@ def window_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ws_sec")
     )
+
+
+ANOMALY_SIGMA = 2.0
+
+
+@query(
+    "ts_anomaly_days",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, epoch_us(ts) // {DAY_US} AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT user_id,
+             count(*) AS n_days,
+             CAST(sum(n) AS BIGINT) AS s1,
+             CAST(sum(n * n) AS BIGINT) AS s2
+      FROM daily GROUP BY user_id
+    ), scored AS (
+      SELECT d.user_id, d.day, d.n,
+             s.s1 / (1.0 * s.n_days) AS mean_n,
+             sqrt((s.n_days * s.s2 - s.s1 * s.s1) / (1.0 * s.n_days * (s.n_days - 1))) AS std_n
+      FROM daily d JOIN stats s ON d.user_id = s.user_id
+      WHERE s.n_days >= 2
+    )
+    SELECT user_id, day * 86400 AS day_sec, n AS n_events,
+           {sql_round_half_up("(n - mean_n) / std_n", 4)} AS z
+    FROM scored
+    WHERE std_n > 0 AND n > mean_n + {ANOMALY_SIGMA} * std_n
+    ORDER BY user_id, day_sec
+    """,
+)
+def anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily-volume anomaly detection: flag days more than
+    {ANOMALY_SIGMA}σ above the user's own mean. The variance comes from
+    INTEGER power sums (n·Σx² − (Σx)² over n(n−1)), so mean/std are exact
+    identical doubles in both engines and even the σ-threshold comparison
+    is deterministic — no Welford-order ambiguity. Two bounded
+    aggregations; the daily table, not the events, crosses the second
+    shuffle."""
+    ev = _events_us(spark, sf_dir)
+    daily = ev.groupBy(
+        "user_id", F.expr(f"ts_us div {DAY_US}").alias("day")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("user_id").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+    )
+    mean_n = F.col("s1") / (F.lit(1.0) * F.col("n_days"))
+    std_n = F.sqrt(
+        (F.col("n_days") * F.col("s2") - F.col("s1") * F.col("s1"))
+        / (F.lit(1.0) * F.col("n_days") * (F.col("n_days") - 1))
+    )
+    return (
+        daily.join(stats, "user_id")
+        .filter(F.col("n_days") >= 2)
+        .withColumn("mean_n", mean_n)
+        .withColumn("std_n", std_n)
+        .filter((F.col("std_n") > 0) & (F.col("n") > F.col("mean_n") + ANOMALY_SIGMA * F.col("std_n")))
+        .select(
+            "user_id",
+            (F.col("day") * 86400).alias("day_sec"),
+            F.col("n").alias("n_events"),
+            round_half_up((F.col("n") - F.col("mean_n")) / F.col("std_n"), 4).alias("z"),
+        )
+        .orderBy("user_id", "day_sec")
+    )

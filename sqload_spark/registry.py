@@ -90,7 +90,9 @@ _loaded = False
 #   etl_file_sizing (etl.py), q_unpivot_measures (relational.py),
 #   q_profile_columns, q_equidepth_histogram, q_winsorize (stats.py),
 #   gen_datasource_table (generator_queries.py, rows-only by design),
-#   dedup_edit_distance (dedup.py), ts_window_unique_users (timeseries.py).
+#   dedup_edit_distance (dedup.py), ts_window_unique_users,
+#   ts_anomaly_days (timeseries.py), mm_dedup_payload (multimodal.py),
+#   sim_vector_quantize (similarity.py).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",
