@@ -91,6 +91,8 @@ HEADLINE = [
     "mm_dedup_payload",
     "ts_anomaly_days",
     "sim_vector_quantize",
+    "etl_dynamic_partition_overwrite",
+    "q_array_higher_order",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

@@ -449,3 +449,55 @@ def file_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_seq")
     )
+
+
+@query(
+    "etl_dynamic_partition_overwrite",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
+    FROM merged
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the lakehouse write mode that makes
+    partition-grain reprocessing safe: rewrite ONLY the partitions present
+    in the incoming batch (here the F partition, with repriced rows) and
+    leave every other partition's files untouched. Static overwrite would
+    have dropped O and P. The oracle replays the merge logically
+    (CASE-modified union), so the read-back proves the selective rewrite
+    disturbed nothing else. At 100 TB this is how dailies restate one day
+    in a thousand-day table."""
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    path = os.path.join(_SCRATCH, "orders_dyn")
+    od.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    restated = (
+        od.filter(F.col("o_orderstatus") == "F")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        restated.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            round_half_up(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -129,3 +129,46 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_array_higher_order",
+    oracle=f"""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0)) AS n_pos,
+           {sql_round_half_up("list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))", 6)} AS linf,
+           CASE WHEN length(list_filter(embedding, x -> abs(x) > 2.5)) > 0
+                THEN 1 ELSE 0 END AS has_extreme,
+           {sql_round_half_up(
+               "list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b)", 6)} AS sq_norm
+    FROM embeddings
+    WHERE vec_id < 100
+    ORDER BY vec_id
+    """,
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order array-function surface in one query: filter /
+    transform / exists / aggregate over the embedding arrays (positive
+    count, L∞ norm, extreme-value flag, squared norm via a left fold that
+    matches DuckDB's list_reduce order). These run per-row with no
+    shuffle; the fold order is left-to-right in both engines, so even the
+    floating reduction hash-checks."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    v = to_double_array(F.col("embedding"))
+    return (
+        emb.select(
+            "vec_id",
+            F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
+            round_half_up(F.array_max(F.transform(v, lambda x: F.abs(x))), 6).alias("linf"),
+            F.when(F.exists(F.col("embedding"), lambda x: F.abs(x) > 2.5), 1)
+            .otherwise(0)
+            .alias("has_extreme"),
+            round_half_up(
+                F.aggregate(
+                    F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, b: a + b
+                ),
+                6,
+            ).alias("sq_norm"),
+        )
+        .orderBy("vec_id")
+    )

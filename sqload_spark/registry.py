@@ -92,7 +92,9 @@ _loaded = False
 #   gen_datasource_table (generator_queries.py, rows-only by design),
 #   dedup_edit_distance (dedup.py), ts_window_unique_users,
 #   ts_anomaly_days (timeseries.py), mm_dedup_payload (multimodal.py),
-#   sim_vector_quantize (similarity.py).
+#   sim_vector_quantize (similarity.py),
+#   etl_dynamic_partition_overwrite (etl.py), q_array_higher_order
+#   (text_tfidf.py).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",
