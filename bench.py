@@ -93,6 +93,8 @@ HEADLINE = [
     "sim_vector_quantize",
     "etl_dynamic_partition_overwrite",
     "q_array_higher_order",
+    "etl_constraint_check",
+    "stream_late_data_policy",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

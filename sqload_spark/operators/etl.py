@@ -501,3 +501,82 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "etl_constraint_check",
+    oracle="""
+    SELECT 'lineitem_orphan_orderkey' AS rule,
+           (SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_violations
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           (SELECT count(*) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem_null_qty',
+           (SELECT count(*) FROM lineitem WHERE l_quantity IS NULL)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           (SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1)
+    UNION ALL
+    SELECT 'orders_status_domain',
+           (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('F','O','P'))
+    ORDER BY rule
+    """,
+)
+def constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation — the expectation suite an ingest runs
+    before publishing a partition: referential integrity (anti-join orphan
+    counts), null checks, range checks, domain checks, one row of violation
+    counts per rule. Each rule is a map-side filter count except the two
+    FK rules, which are left-anti broadcast joins against the (smaller)
+    parent keys — at 100 TB the anti-joins ride the same broadcast the
+    dimension joins use. A publish gate asserts every count is zero."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+
+    def rule(name: str, cnt_df: DataFrame) -> DataFrame:
+        return cnt_df.select(F.lit(name).alias("rule"), F.col("n").alias("n_violations"))
+
+    orphan_li = li.join(
+        F.broadcast(od.select("o_orderkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count("*").alias("n"))
+    orphan_od = od.join(
+        F.broadcast(cu.select("c_custkey")),
+        od.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count("*").alias("n"))
+    checks = [
+        rule("lineitem_orphan_orderkey", orphan_li),
+        rule("orders_orphan_custkey", orphan_od),
+        rule("lineitem_null_qty", li.filter(F.col("l_quantity").isNull()).agg(F.count("*").alias("n"))),
+        rule(
+            "lineitem_qty_range",
+            li.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).agg(
+                F.count("*").alias("n")
+            ),
+        ),
+        rule(
+            "lineitem_discount_range",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).agg(
+                F.count("*").alias("n")
+            ),
+        ),
+        rule(
+            "orders_status_domain",
+            od.filter(~F.col("o_orderstatus").isin("F", "O", "P")).agg(
+                F.count("*").alias("n")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("rule")

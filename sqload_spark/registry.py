@@ -94,7 +94,9 @@ _loaded = False
 #   ts_anomaly_days (timeseries.py), mm_dedup_payload (multimodal.py),
 #   sim_vector_quantize (similarity.py),
 #   etl_dynamic_partition_overwrite (etl.py), q_array_higher_order
-#   (text_tfidf.py).
+#   (text_tfidf.py), etl_constraint_check (etl.py),
+#   stream_late_data_policy (streaming/queries.py — watermark drops
+#   hash-checked via the measured one-batch-lag model).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",

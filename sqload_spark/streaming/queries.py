@@ -364,3 +364,122 @@ def stream_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("latest.ts_us").alias("last_us"),
         "n_versions",
     ).orderBy("user_id")
+
+
+# --- watermark late-data policy, driver-visible ----------------------------
+LATE_MOD = 10  # bucket 0 = the late re-delivery, bucket 1 = the on-time filler
+LATE_WM_US = 3600 * 1_000_000  # 1 h watermark delay
+
+_LATE_BUCKET_SQL = (
+    "(('0x' || substr(md5('late|' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT"
+    f" % {LATE_MOD})"
+)
+
+
+@query(
+    "stream_late_data_policy",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, epoch_us(ts) AS t, {_LATE_BUCKET_SQL} AS bk FROM events
+    ), wm_b AS (
+      SELECT max(t) - {LATE_WM_US} AS wm FROM e WHERE bk >= 1
+    ), kept AS (
+      SELECT t FROM e WHERE bk >= 1
+      UNION ALL
+      SELECT e.t FROM e, wm_b
+      WHERE e.bk = 0 AND ((e.t // {TEN_MIN_US}) + 1) * {TEN_MIN_US} > wm_b.wm
+    ), fwm AS (
+      SELECT max(t) - {LATE_WM_US} AS wm FROM e
+    )
+    SELECT (t // {TEN_MIN_US}) * 600 AS ws_sec, count(*) AS n_events
+    FROM kept, fwm
+    WHERE ((t // {TEN_MIN_US}) + 1) * {TEN_MIN_US} <= fwm.wm
+    GROUP BY 1
+    ORDER BY ws_sec
+    """,
+)
+def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data semantics, hash-checked end to end: 10% of the
+    events (md5 bucket 0) are withheld and re-delivered as the THIRD
+    micro-batch, after the watermark advanced past most of their windows.
+    Append output must contain no contribution from a withheld event whose
+    window was already finalized, and no window newer than the final
+    watermark — the oracle states that policy in closed form.
+
+    The model is the MEASURED semantics of the micro-batch engine, pinned
+    empirically with numRowsDroppedByWatermark (864 dropped at sf0.01):
+    the watermark computed from batch N's data is applied starting in
+    batch N+2 (one-batch update lag), the late filter drops rows whose
+    WINDOW END ≤ applied watermark, and Spark's trailing no-data batch
+    flushes the final closed windows. Three files + maxFilesPerTrigger=1
+    under a periodic trigger force the batch sequence (availableNow lumps
+    all files into one batch and nothing is ever late); file order is
+    fixed by modification time."""
+    import time as _time
+    import tempfile
+    import uuid as _uuid
+
+    from sqload_spark.sources.tables import load_table
+
+    bucket = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("late|"), F.col("event_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(LATE_MOD),
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.timestamp_micros(F.expr("ts_ns div 1000")).alias("ts"),
+        bucket.alias("bk"),
+    )
+    in_dir = tempfile.mkdtemp(prefix="sqload_late_in_")
+    for cond in (F.col("bk") >= 2, F.col("bk") == 1, F.col("bk") == 0):
+        ev.filter(cond).coalesce(1).write.mode("append").parquet(in_dir)
+        _time.sleep(1.1)  # distinct mtimes -> deterministic file-source order
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, bk long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", f"{LATE_WM_US // 1_000_000} seconds")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = f"late_{_uuid.uuid4().hex[:10]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sqload_late_ckpt_"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    total_rows = ev.count()
+    try:
+        deadline = _time.monotonic() + 120
+        seen = 0
+        while _time.monotonic() < deadline and seen < total_rows:
+            _time.sleep(0.2)
+            seen = sum(p["numInputRows"] for p in q.recentProgress)
+        if seen < total_rows:
+            raise RuntimeError(f"late-data stream incomplete: {seen}/{total_rows}")
+        # wait for the watermark-advancing no-data batch to flush the sink
+        stable, last = 0, -1
+        while _time.monotonic() < deadline and stable < 5:
+            _time.sleep(0.2)
+            n = spark.table(name).count()
+            stable, last = (stable + 1, n) if n == last else (0, n)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(F.unix_timestamp(F.col("w.start")).alias("ws_sec"), "n_events")
+        .orderBy("ws_sec")
+    )
