@@ -95,6 +95,7 @@ HEADLINE = [
     "q_array_higher_order",
     "etl_constraint_check",
     "stream_late_data_policy",
+    "q_sample_temperature",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

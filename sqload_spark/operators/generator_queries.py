@@ -68,3 +68,48 @@ def gen_datasource_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("seed", 42)
         .load()
     )
+
+
+@query("gen_stream_table")
+def gen_stream_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generator as a STREAMING source: format("sqload").readStream
+    emits rowsPerBatch ids per trigger (offsets = row counters, so
+    exactly-once replay is just re-generating the same id range). Run to
+    maxRows under a periodic trigger; any prefix is bit-identical to the
+    batch table (law-tested in tests/test_datasource.py), so this is the
+    load-generator front end of a streaming ingest benchmark."""
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from sqload_spark.sources.datasource import register
+
+    register(spark)
+    total = GEN_ROWS
+    sdf = (
+        spark.readStream.format("sqload")
+        .option("spec", "key,rkey,int,varchar(16)")
+        .option("seed", 42)
+        .option("rowsPerBatch", total // 4)
+        .option("maxRows", total)
+        .load()
+    )
+    name = f"genstream_{_uuid.uuid4().hex[:10]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sqload_gen_ckpt_"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.monotonic() + 120
+        while _time.monotonic() < deadline and spark.table(name).count() < total:
+            _time.sleep(0.2)
+        if spark.table(name).count() < total:
+            raise RuntimeError("generator stream incomplete")
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return spark.table(name).orderBy("c0")

@@ -432,3 +432,83 @@ def source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Temperature-sampled source mix (the multilingual-training alpha trick):
+# quota_i ∝ count_i^alpha with alpha < 1 flattens the source distribution —
+# big sources are down-weighted, small sources up-weighted — without ever
+# dropping a source entirely.
+TEMP_ALPHA = 0.5
+TEMP_TARGET = 200  # total docs to draw at sf0.01 scale (scales with corpus)
+
+
+@query(
+    "q_sample_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, count(*) AS c FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(c ** {TEMP_ALPHA}) AS z, sum(c) AS n FROM counts
+    ), quotas AS (
+      SELECT source, c,
+             least(c, CAST(floor(
+               (c ** {TEMP_ALPHA}) / tot.z * (tot.n * {TEMP_TARGET} / 500.0) + 0.5
+             ) AS BIGINT)) AS quota
+      FROM counts, tot
+    ), ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('temp|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT q.source AS source, q.c AS n_total, q.quota AS quota,
+           count(*) AS n_kept
+    FROM ranked r JOIN quotas q ON r.source = q.source
+    WHERE r.rn <= q.quota
+    GROUP BY q.source, q.c, q.quota
+    ORDER BY q.source
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing: per-source quota proportional
+    to count^{TEMP_ALPHA} (alpha-sampling from multilingual LM training),
+    drawn deterministically by md5 rank within each source. Two bounded
+    aggregations (source counts, then the normalizer as a broadcast 1-row
+    frame) + one rank shuffle on source; c^alpha = sqrt at alpha 0.5 is
+    engine-exact IEEE, so the quota arithmetic itself hash-checks. The
+    target scales with the corpus (n/500 x {TEMP_TARGET}) so the same
+    registration is meaningful at every sf."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("c"))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("c"), F.lit(TEMP_ALPHA))).alias("z"),
+        F.sum("c").alias("n"),
+    )
+    quotas = (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "c",
+            F.least(
+                F.col("c"),
+                F.floor(
+                    F.pow(F.col("c"), F.lit(TEMP_ALPHA))
+                    / F.col("z")
+                    * (F.col("n") * TEMP_TARGET / 500.0)
+                    + 0.5
+                ).cast("bigint"),
+            ).alias("quota"),
+        )
+    )
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("temp|"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    ranked = docs.withColumn("rn", F.row_number().over(w)).select("doc_id", "source", "rn")
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .filter(F.col("rn") <= F.col("quota"))
+        .groupBy("source", F.col("c").alias("n_total"), "quota")
+        .agg(F.count("*").alias("n_kept"))
+        .orderBy("source")
+    )

@@ -96,7 +96,10 @@ _loaded = False
 #   etl_dynamic_partition_overwrite (etl.py), q_array_higher_order
 #   (text_tfidf.py), etl_constraint_check (etl.py),
 #   stream_late_data_policy (streaming/queries.py — watermark drops
-#   hash-checked via the measured one-batch-lag model).
+#   hash-checked via the measured one-batch-lag model),
+#   q_sample_temperature (sampling.py), gen_stream_table
+#   (generator_queries.py — the sqload format's streaming reader,
+#   rows-only by design).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",

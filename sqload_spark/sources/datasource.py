@@ -26,7 +26,12 @@ from __future__ import annotations
 
 import time
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from sqload_spark.plans.spec_parser import parse_spec
 from sqload_spark.sources.generate import DEFAULT_SPEC, _arrow_schema_type
@@ -51,6 +56,9 @@ class SqloadDataSource(DataSource):
 
     def reader(self, schema) -> "SqloadReader":
         return SqloadReader(dict(self.options))
+
+    def streamReader(self, schema) -> "SqloadStreamReader":
+        return SqloadStreamReader(dict(self.options))
 
 
 class SqloadReader(DataSourceReader):
@@ -106,3 +114,56 @@ def _to_arrow(col, spec, pa):
 def register(spark) -> None:
     """Idempotent per-session registration of the `sqload` format."""
     spark.dataSource.register(SqloadDataSource)
+
+
+class SqloadStreamReader(DataSourceStreamReader):
+    """Micro-batch stream of generated rows: offsets are row counters, each
+    trigger emits the next ``rows_per_batch`` ids, values are the SAME pure
+    function of (row id, seed, column) as the batch reader — so any prefix
+    of the stream is bit-identical to the batch table's prefix (asserted in
+    tests). Offsets are plain dicts {"row": n}: exactly-once replay after a
+    crash is Spark re-asking for the same [start, end) id range, which
+    regenerates identical rows — the source is effortlessly replayable
+    because generation is deterministic, the property a real queue needs
+    retention to provide."""
+
+    def __init__(self, options: dict):
+        self.spec = options.get("spec", DEFAULT_SPEC)
+        self.seed = int(options.get("seed", 0))
+        # option keys arrive lower-cased (CaseInsensitiveDict)
+        self.rows_per_batch = int(options.get("rowsperbatch", 10_000))
+        self.max_rows = int(options.get("maxrows", 100_000))
+        self.n_parts = max(1, int(options.get("partitions", 4)))
+        self.now_epoch = int(options.get("now_epoch", time.time()))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        # advance one batch per trigger, capped at the configured end
+        self._latest = getattr(self, "_latest", 0)
+        self._latest = min(self._latest + self.rows_per_batch, self.max_rows)
+        return {"row": self._latest}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["row"], end["row"]
+        per = max(1, -(-(hi - lo) // self.n_parts))
+        return [_Range(a, min(a + per, hi)) for a in range(lo, hi, per)]
+
+    def read(self, partition: _Range):
+        import numpy as np
+        import pyarrow as pa
+
+        from sqload_spark.sources.generate_arrow import U64, _column
+
+        specs = parse_spec(self.spec)
+        ids = np.arange(partition.start, partition.end, dtype=U64)
+        arrays, fields = [], []
+        for i, spec in enumerate(specs):
+            col = _column(ids, spec, self.seed, i, self.now_epoch)
+            arrays.append(_to_arrow(col, spec, pa))
+            fields.append(pa.field(f"c{i}", arrays[-1].type))
+        yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
+
+    def commit(self, end: dict) -> None:
+        pass

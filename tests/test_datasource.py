@@ -57,3 +57,43 @@ def test_source_rkey_reference_bijection(spark):
     )
     # reference binary's first three rkey outputs (SURVEY.md §1.1)
     assert [r[0] for r in rows] == ["9223372036854775808", "1", "9223372036854775809"]
+
+
+def test_stream_source_prefix_equals_batch(spark):
+    """The streaming reader must emit the batch table's exact prefix,
+    across multiple real micro-batches."""
+    import tempfile
+    import time
+    import uuid
+
+    register(spark)
+    sdf = (
+        spark.readStream.format("sqload")
+        .option("spec", MIXED_SPEC)
+        .option("seed", 11)
+        .option("rowsPerBatch", 900)
+        .option("maxRows", 2500)
+        .load()
+    )
+    name = f"t_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table(name).count() < 2500:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    out = spark.table(name)
+    assert out.count() == 2500
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3, f"expected multiple micro-batches, got {n_batches}"
+    ref = generate_table(spark, 2500, MIXED_SPEC, seed=11, impl="arrow")
+    assert set(map(tuple, out.collect())) == set(map(tuple, ref.collect()))
