@@ -96,6 +96,8 @@ HEADLINE = [
     "etl_constraint_check",
     "stream_late_data_policy",
     "q_sample_temperature",
+    "dedup_prefix_filter",
+    "sketch_histogram_merge",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

@@ -176,3 +176,63 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "merged_estimate", "direct_estimate", "n_shards")
         .orderBy("l_returnflag")
     )
+
+
+# Exact mergeable histogram sketch: equi-width bin counts are an algebraic
+# aggregate — shard sketches merge by vector addition with NO approximation,
+# unlike CMS/HLL. The three-way oracle (shard → merge ≡ direct) is exact.
+HIST_MERGE_BINS = 20
+HIST_MERGE_SHARDS = 4
+
+
+@query(
+    "sketch_histogram_merge",
+    oracle=f"""
+    WITH lo_hi AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    ), binned AS (
+      SELECT o_orderkey % {HIST_MERGE_SHARDS} AS shard,
+             least({HIST_MERGE_BINS} - 1,
+                   CAST(floor((o_totalprice - l.lo) / ((l.hi - l.lo) / {HIST_MERGE_BINS})) AS BIGINT)
+             ) AS bin
+      FROM orders, lo_hi l
+    ), shard_sketch AS (
+      SELECT shard, bin, count(*) AS n FROM binned GROUP BY shard, bin
+    )
+    SELECT bin,
+           CAST(sum(n) AS BIGINT) AS merged_n,
+           count(*) AS n_shards_present
+    FROM shard_sketch
+    GROUP BY bin
+    ORDER BY bin
+    """,
+)
+def histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram sketch: each shard builds an equi-width bin
+    vector, the coordinator merges by addition — the EXACT member of the
+    mergeable-summaries family (CMS and HLL trade exactness for space;
+    bin counts don't have to). The oracle replays shard → merge and the
+    merged counts must equal the direct histogram bit-for-bit. At 100 TB
+    this is the two-level aggregation every distributed profiler runs; the
+    bin range comes from one broadcast min/max frame."""
+    od = load_table(spark, sf_dir, "orders")
+    lo_hi = od.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    binned = od.crossJoin(F.broadcast(lo_hi)).select(
+        (F.col("o_orderkey") % HIST_MERGE_SHARDS).alias("shard"),
+        F.least(
+            F.lit(HIST_MERGE_BINS - 1),
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / HIST_MERGE_BINS)
+            ).cast("bigint"),
+        ).alias("bin"),
+    )
+    shard_sketch = binned.groupBy("shard", "bin").agg(F.count("*").alias("n"))
+    return (
+        shard_sketch.groupBy("bin")
+        .agg(
+            F.sum("n").cast("bigint").alias("merged_n"),
+            F.count("*").alias("n_shards_present"),
+        )
+        .orderBy("bin")
+    )

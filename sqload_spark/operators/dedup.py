@@ -1024,3 +1024,58 @@ def edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query("dedup_prefix_filter", oracle=_JACCARD_ORACLE)
+def prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the PPJoin family)
+    — the deterministic alternative to MinHash-LSH: order each document's
+    shingles by global rarity, index only the first n − ⌈t·n⌉ + 1 of them
+    (the "prefix"), and join on prefix shingles only. Two sets with
+    Jaccard ≥ t MUST share a prefix element under any consistent global
+    order (pigeonhole), so unlike LSH there is no recall parameter — the
+    output probably-equals nothing, it EQUALS the exact join, which is why
+    this query shares the exact oracle verbatim.
+
+    Scale shape: one df-count aggregation (vocabulary-sized), one rank
+    window per doc, and the candidate join runs on the RAREST shingles
+    only — the frequent shingles that explode an inverted-index join are
+    exactly the ones the prefix excludes. Verification is candidate-only,
+    as in the LSH path."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(shingle_hashes(F.col("text"), 3)).alias("h"))
+    df_counts = sh.groupBy("h").agg(F.count("*").alias("df"))
+    n_per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    w = W.partitionBy("doc_id").orderBy("df", "h")
+    prefix = (
+        sh.join(df_counts, "h")
+        .withColumn("rnk", F.row_number().over(w))
+        .join(n_per_doc, "doc_id")
+        # prefix length for threshold t=0.5: n - ceil(n/2) + 1 = n div 2 + 1
+        .filter(F.col("rnk") <= F.expr("n div 2") + 1)
+        .select("doc_id", "h")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets_a = docs.select(
+        F.col("doc_id").alias("doc_a"), shingle_hashes(F.col("text"), 3).alias("sh_a")
+    )
+    sets_b = docs.select(
+        F.col("doc_id").alias("doc_b"), shingle_hashes(F.col("text"), 3).alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        candidates.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn(
+            "jaccard_raw",
+            inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter),
+        )
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", round_half_up(F.col("jaccard_raw"), 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

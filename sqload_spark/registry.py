@@ -99,7 +99,9 @@ _loaded = False
 #   hash-checked via the measured one-batch-lag model),
 #   q_sample_temperature (sampling.py), gen_stream_table
 #   (generator_queries.py — the sqload format's streaming reader,
-#   rows-only by design).
+#   rows-only by design), dedup_prefix_filter (dedup.py — PPJoin-style
+#   exact set-similarity join, shares the exact oracle),
+#   sketch_histogram_merge (advanced.py — exact mergeable sketch).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",

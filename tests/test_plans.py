@@ -156,3 +156,15 @@ def test_zorder_layout_localizes_box_files(spark):
     assert box_files < total_files, (
         f"z-layout gives no file locality: box touches {box_files}/{total_files}"
     )
+
+
+def test_join_strategy_hints_honored(spark):
+    """The join-strategy surface: an explicit shuffle_hash hint must yield
+    ShuffledHashJoin where AQE/size rules would otherwise pick
+    sort-merge or broadcast — the operator knob a tuner reaches for when
+    one side is large but cheap to hash."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    hinted = li.join(od.hint("shuffle_hash"), li.l_orderkey == od.o_orderkey)
+    plan = plan_of(spark, hinted)
+    assert "ShuffledHashJoin" in plan, "shuffle_hash hint not honored"
