@@ -98,6 +98,8 @@ HEADLINE = [
     "q_sample_temperature",
     "dedup_prefix_filter",
     "sketch_histogram_merge",
+    "dedup_simhash_checked",
+    "pipe_output_manifest",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

@@ -24,6 +24,7 @@ from sqload_spark.functions.text_funcs import (
     hamming64,
     minhash_agg_exprs,
     shingle_hashes,
+    shingles,
     simhash_bitsum_exprs,
     simhash_from_bitsums,
     tokens,
@@ -1077,5 +1078,107 @@ def prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", round_half_up(F.col("jaccard_raw"), 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- SimHash with a DuckDB twin --------------------------------------------
+# The registered dedup_simhash uses xxhash64 bit votes (no DuckDB
+# equivalent → rows-only). This variant derives the 32 signature bits from
+# md5 — available in BOTH engines — so the SimHash construction itself is
+# hash-checked: banding completeness (4 bands × 8 bits ⇒ hamming ≤ 3 has a
+# clean band) must reproduce the brute-force all-pairs answer exactly.
+SIMHASH32_BITS = 32
+SIMHASH32_BANDS = 4
+SIMHASH32_MAX_HAMMING = 3
+
+_SH32_VOTES_SQL = ", ".join(
+    f"sum(CASE WHEN (h32 >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(SIMHASH32_BITS)
+)
+_SH32_ASSEMBLE_SQL = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH32_BITS)
+)
+
+_SIMHASH32_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   for i in range(1, len(t) - 1)])) AS s
+      FROM toks
+    ), bits AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h32 FROM sh
+    ), votes AS (
+      SELECT doc_id, {_SH32_VOTES_SQL} FROM bits GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, {_SH32_ASSEMBLE_SQL} AS sim FROM votes
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.sim, b.sim)) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= {SIMHASH32_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_simhash_checked", oracle=_SIMHASH32_ORACLE)
+def simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the signature bits derived from md5, so
+    the WHOLE construction — bit votes, signature assembly, banded
+    candidate mining, hamming verification — has an exact cross-engine
+    twin. The oracle computes the all-pairs hamming-≤3 answer brute-force;
+    the Spark side finds it via 4×8-bit banding (pigeonhole: ≤3 flipped
+    bits leave ≥1 band untouched), proving the banded plan loses nothing.
+    Scale shape identical to the 64-bit production simhash above: one
+    explode+32-sum aggregation per doc, band self-join on 8-bit buckets,
+    hamming check on candidates only."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("s"))
+    h32 = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long")
+    votes = sh.select("doc_id", h32.alias("h32")).groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h32"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(SIMHASH32_BITS)
+        ]
+    )
+    sim = None
+    for b in range(SIMHASH32_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    sigs = votes.select("doc_id", sim.alias("sim"))
+    bands = sigs.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright(F.col("sim"), 8 * k).bitwiseAND(F.lit(255)).alias("bv"),
+                    )
+                    for k in range(SIMHASH32_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "sim", "b.band", "b.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH32_MAX_HAMMING)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sqload_spark.operators.dedup import component_labels
-from sqload_spark.registry import query
+from sqload_spark.registry import ORACLES, query
 from sqload_spark.sources.tables import load_table
 
 SAMPLE_RATE = 0.2
@@ -511,4 +511,58 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", F.col("c").alias("n_total"), "quota")
         .agg(F.count("*").alias("n_kept"))
         .orderBy("source")
+    )
+
+
+# One-row reproducibility receipt over the full pipeline's doc-level
+# manifest. Oracle = the training-mix CTE chain with the reporting tail
+# swapped for a canonical-string md5.
+_MIX_ORACLE = ORACLES["pipe_training_mix"]
+_MANIFEST_ORACLE = _MIX_ORACLE[: _MIX_ORACLE.index("    SELECT source,")] + """
+    SELECT md5(string_agg(
+             CAST(doc_id AS VARCHAR) || ':' || source || ':' || CAST(n_tokens AS VARCHAR),
+             '|' ORDER BY doc_id)) AS manifest_md5,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+    FROM mix
+"""
+
+
+@query("pipe_output_manifest", oracle=_MANIFEST_ORACLE)
+def output_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline's reproducibility receipt: one md5 over the ENTIRE
+    doc-level output manifest (sorted `doc_id:source:n_tokens` lines). Two
+    independently-built engines producing the same 32-hex receipt is the
+    strongest single bit of end-to-end evidence a curation run can emit —
+    and the artifact a production pipeline logs next to its output so any
+    later rerun (new cluster, new Spark version, new partitioning) can
+    prove bit-level reproducibility in O(1) comparison. The global
+    string_agg runs on the FINAL manifest (hundreds of rows here, always
+    report-scale), not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    comps = component_labels(docs)
+    n_tokens = F.size(F.split("text", " "))
+    mix = (
+        docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .filter(F.col("n_tokens").between(MIX_MIN_TOKENS, MIX_MAX_TOKENS))
+        .join(comps, "doc_id", "left")
+        .filter(F.coalesce(F.col("keep_doc_id"), F.col("doc_id")) == F.col("doc_id"))
+        .filter(_u(F.col("doc_id"), "mixfinal") < MIX_SAMPLE_RATE)
+    )
+    line = F.concat_ws(
+        ":", F.col("doc_id").cast("string"), F.col("source"), F.col("n_tokens").cast("string")
+    )
+    return mix.select("doc_id", line.alias("line"), "n_tokens").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("doc_id"), F.col("line")))
+                    ),
+                    lambda s: s["line"],
+                )
+            , "|")
+        ).alias("manifest_md5"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )

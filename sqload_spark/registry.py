@@ -101,7 +101,10 @@ _loaded = False
 #   (generator_queries.py — the sqload format's streaming reader,
 #   rows-only by design), dedup_prefix_filter (dedup.py — PPJoin-style
 #   exact set-similarity join, shares the exact oracle),
-#   sketch_histogram_merge (advanced.py — exact mergeable sketch).
+#   sketch_histogram_merge (advanced.py — exact mergeable sketch),
+#   dedup_simhash_checked (dedup.py — md5-bit SimHash, banding ≡
+#   brute-force all-pairs hamming), pipe_output_manifest (sampling.py —
+#   one-row md5 receipt over the full pipeline manifest).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",
