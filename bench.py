@@ -100,6 +100,8 @@ HEADLINE = [
     "sketch_histogram_merge",
     "dedup_simhash_checked",
     "pipe_output_manifest",
+    "q7_volume_shipping",
+    "q8_market_share",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

@@ -196,3 +196,134 @@ def disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           {sql_round_half_up(
+               "CAST(sum(CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(18,4))) AS DOUBLE)", 2)} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    WHERE ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+        OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+    GROUP BY 1, 2, 3
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: the six-table join with a DISJUNCTIVE cross-nation
+    predicate — supplier nation and customer nation reach the fact table
+    through different join paths, so the planner must broadcast both
+    nation dims down both arms and keep the one fact⋈orders shuffle. The
+    classic test that join reordering + broadcast selection compose."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    n1 = na.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = na.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n2), cu.c_nationkey == F.col("c_nk"))
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n1), su.s_nationkey == F.col("s_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_9") & (F.col("cust_nation") == "NATION_10"))
+            | ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_9"))
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
+        )
+        .agg(
+            round_half_up(
+                exact_decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    WITH volumes AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST((l.l_extendedprice * (1 - l.l_discount)) AS DECIMAL(18,4)) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      JOIN region r   ON n2.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           {sql_round_half_up(
+               "CAST(sum(CASE WHEN supp_nation = 'NATION_9' THEN volume ELSE 0 END) AS DOUBLE)"
+               " / CAST(sum(volume) AS DOUBLE)", 6)} AS mkt_share,
+           count(*) AS n_items
+    FROM volumes
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: national market share — an EIGHT-table star join feeding
+    a conditional-aggregate ratio per year. Every dimension broadcasts;
+    the only shuffles are fact⋈orders and the final per-year aggregation.
+    The exact-decimal volumes make the ratio engine-stable at 6dp."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    pa = load_table(spark, sf_dir, "part")
+    n1 = na.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = na.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    volumes = (
+        li.join(F.broadcast(pa.filter(F.col("p_type") == "ECONOMY")), li.l_partkey == pa.p_partkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(n2), cu.c_nationkey == F.col("c_nk"))
+        .join(
+            F.broadcast(re.filter(F.col("r_name") == "EUROPE")),
+            F.col("c_rk") == re.r_regionkey,
+        )
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(n1), su.s_nationkey == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.cast("decimal(18,4)").alias("volume"),
+            "supp_nation",
+        )
+    )
+    fr = F.when(F.col("supp_nation") == "NATION_9", F.col("volume")).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        volumes.groupBy("o_year")
+        .agg(
+            round_half_up(
+                F.sum(fr).cast("double") / F.sum("volume").cast("double"), 6
+            ).alias("mkt_share"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("o_year")
+    )

@@ -104,7 +104,9 @@ _loaded = False
 #   sketch_histogram_merge (advanced.py — exact mergeable sketch),
 #   dedup_simhash_checked (dedup.py — md5-bit SimHash, banding ≡
 #   brute-force all-pairs hamming), pipe_output_manifest (sampling.py —
-#   one-row md5 receipt over the full pipeline manifest).
+#   one-row md5 receipt over the full pipeline manifest),
+#   q7_volume_shipping / q8_market_share (tpch_more.py — the 6- and
+#   8-table TPC-H join classics).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",
