@@ -102,6 +102,7 @@ HEADLINE = [
     "pipe_output_manifest",
     "q7_volume_shipping",
     "q8_market_share",
+    "sketch_cms_checked",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

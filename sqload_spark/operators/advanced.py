@@ -236,3 +236,92 @@ def histogram_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# md5-based CMS twin: same construction as sketch_count_min but the cell
+# hash is md5-derived, which DuckDB can replicate — so the ENTIRE sketch
+# (table build, point queries, min-over-depth estimator, and its
+# overestimate vs the exact counts) is hash-checked, not just law-tested.
+_CMS_HASH_SQL = (
+    "(('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || CAST({k} AS VARCHAR)), 1, 8))::BIGINT"
+    f" % {CMS_WIDTH})"
+)
+
+
+@query(
+    "sketch_cms_checked",
+    oracle=f"""
+    WITH cells AS (
+      SELECT t.d, {_CMS_HASH_SQL.format(k="l.l_suppkey")} AS w, count(*) AS c
+      FROM lineitem l, range(0, {CMS_DEPTH}) t(d)
+      GROUP BY 1, 2
+    ), probes AS (
+      SELECT p.probe_key, t.d, {_CMS_HASH_SQL.format(k="p.probe_key")} AS w
+      FROM range(1, 11) p(probe_key), range(0, {CMS_DEPTH}) t(d)
+    ), est AS (
+      SELECT p.probe_key, min(coalesce(c.c, 0)) AS cms_estimate
+      FROM probes p LEFT JOIN cells c ON p.d = c.d AND p.w = c.w
+      GROUP BY p.probe_key
+    ), exact AS (
+      SELECT l_suppkey AS probe_key, count(*) AS exact_count
+      FROM lineitem WHERE l_suppkey BETWEEN 1 AND 10 GROUP BY 1
+    )
+    SELECT e.probe_key AS probe_key, CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(coalesce(x.exact_count, 0) AS BIGINT) AS exact_count
+    FROM est e LEFT JOIN exact x ON e.probe_key = x.probe_key
+    ORDER BY e.probe_key
+    """,
+)
+def sketch_cms_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch with md5 cell hashing — the exact cross-engine
+    twin of sketch_count_min. Both engines build the identical
+    (depth × width) counts table and answer identical point queries, so
+    the sketch's overestimation behavior itself is part of the checked
+    contract (estimate ≥ exact always; the gap is the collision mass).
+    Same scale shape: one explode to depth rows, one bounded groupBy,
+    probes join the broadcast-sized sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def cell_w(key_col):
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(F.col("d").cast("string"), F.lit("|"), key_col.cast("string"))
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(CMS_WIDTH),
+        )
+
+    rows = li.select(
+        F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("d"),
+        F.col("l_suppkey").alias("k"),
+    ).select("d", cell_w(F.col("k")).alias("w"))
+    cms = rows.groupBy("d", "w").agg(F.count("*").alias("c"))
+    probes = spark.range(1, 11).select(F.col("id").alias("probe_key"))
+    probe_cells = probes.select(
+        "probe_key",
+        F.explode(F.array(*[F.lit(j) for j in range(CMS_DEPTH)])).alias("d"),
+    ).select("probe_key", "d", cell_w(F.col("probe_key")).alias("w"))
+    estimates = (
+        probe_cells.join(cms, ["d", "w"], "left")
+        .fillna(0, subset=["c"])
+        .groupBy("probe_key")
+        .agg(F.min("c").cast("bigint").alias("cms_estimate"))
+    )
+    exact = (
+        li.filter(F.col("l_suppkey").between(1, 10))
+        .groupBy(F.col("l_suppkey").alias("probe_key"))
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return (
+        estimates.join(exact, "probe_key", "left")
+        .fillna(0, subset=["exact_count"])
+        .select("probe_key", "cms_estimate", F.col("exact_count").cast("bigint").alias("exact_count"))
+        .orderBy("probe_key")
+    )
