@@ -103,6 +103,7 @@ HEADLINE = [
     "q7_volume_shipping",
     "q8_market_share",
     "sketch_cms_checked",
+    "ts_ohlc_bars",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

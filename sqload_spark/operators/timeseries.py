@@ -620,3 +620,64 @@ def anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day_sec")
     )
+
+
+@query(
+    "ts_ohlc_bars",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT user_id, epoch_us(ts) // {DAY_US} AS day, value,
+             row_number() OVER (PARTITION BY user_id, epoch_us(ts) // {DAY_US}
+                                ORDER BY epoch_us(ts), event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, epoch_us(ts) // {DAY_US}
+                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT user_id, day * 86400 AS day_sec,
+           {sql_round_half_up("max(CASE WHEN rn_a = 1 THEN value END)", 2)} AS open_v,
+           {sql_round_half_up("max(value)", 2)} AS high_v,
+           {sql_round_half_up("min(value)", 2)} AS low_v,
+           {sql_round_half_up("max(CASE WHEN rn_d = 1 THEN value END)", 2)} AS close_v,
+           count(*) AS n_events
+    FROM ranked
+    GROUP BY user_id, day
+    ORDER BY user_id, day_sec
+    """,
+)
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the financial-bar aggregation: per (user, day),
+    the first/last value by event time (open/close, total tie-break on
+    event id) plus min/max. One shuffle on (user, day); open/close come
+    from two row_number windows over the same partition — no per-group
+    sort materialization, and the formulation is engine-identical, so the
+    bars hash-check. The canonical example of order-sensitive aggregation
+    done with order-free shuffles."""
+    ev = _events_us(spark, sf_dir)
+    day = F.expr(f"ts_us div {DAY_US}")
+    wa = W.partitionBy("user_id", "day").orderBy("ts_us", "event_id")
+    wd = W.partitionBy("user_id", "day").orderBy(F.col("ts_us").desc(), F.col("event_id").desc())
+    ranked = (
+        ev.withColumn("day", day)
+        .withColumn("rn_a", F.row_number().over(wa))
+        .withColumn("rn_d", F.row_number().over(wd))
+    )
+    return (
+        ranked.groupBy("user_id", "day")
+        .agg(
+            round_half_up(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 2).alias("open_v"),
+            round_half_up(F.max("value"), 2).alias("high_v"),
+            round_half_up(F.min("value"), 2).alias("low_v"),
+            round_half_up(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 2).alias("close_v"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            (F.col("day") * 86400).alias("day_sec"),
+            "open_v",
+            "high_v",
+            "low_v",
+            "close_v",
+            "n_events",
+        )
+        .orderBy("user_id", "day_sec")
+    )

@@ -107,7 +107,8 @@ _loaded = False
 #   one-row md5 receipt over the full pipeline manifest),
 #   q7_volume_shipping / q8_market_share (tpch_more.py — the 6- and
 #   8-table TPC-H join classics), sketch_cms_checked (advanced.py —
-#   md5-cell CMS whose overestimation behavior is itself hash-checked).
+#   md5-cell CMS whose overestimation behavior is itself hash-checked),
+#   ts_ohlc_bars (timeseries.py — OHLC bars via order-free shuffles).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",
