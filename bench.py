@@ -104,6 +104,7 @@ HEADLINE = [
     "q8_market_share",
     "sketch_cms_checked",
     "ts_ohlc_bars",
+    "dedup_minhash_checked",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

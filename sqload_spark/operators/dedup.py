@@ -1182,3 +1182,100 @@ def simhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
+
+
+# --- MinHash with a DuckDB twin --------------------------------------------
+# Completes the checked-sketch trilogy (SimHash and Count-Min above): 16
+# md5-derived permutations make the SIGNATURE itself cross-engine exact, so
+# the estimator's agreement fraction — not just the verified output — is
+# hash-checked against the true Jaccard of every qualifying pair.
+MINHASH_CHECKED_PERMS = 16
+
+_MHC_MIN_SQL = ", ".join(
+    f"min(('0x' || substr(md5(CAST({p} AS VARCHAR) || '|' || s), 1, 8))::BIGINT) AS m{p}"
+    for p in range(MINHASH_CHECKED_PERMS)
+)
+_MHC_AGREE_SQL = " + ".join(
+    f"(CASE WHEN a.m{p} = b.m{p} THEN 1 ELSE 0 END)" for p in range(MINHASH_CHECKED_PERMS)
+)
+
+_MINHASH_CHECKED_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   for i in range(1, len(t) - 1)])) AS s
+      FROM toks
+    ),
+    sigs AS (
+      SELECT doc_id, {_MHC_MIN_SQL} FROM sh GROUP BY doc_id
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT da, db, i::DOUBLE / (ca.n + cb.n - i) AS j
+      FROM inter
+      JOIN cnt ca ON da = ca.doc_id
+      JOIN cnt cb ON db = cb.doc_id
+      WHERE i::DOUBLE / (ca.n + cb.n - i) >= {JACCARD_THRESHOLD}
+    )
+    SELECT p.da AS doc_a, p.db AS doc_b,
+           {sql_round_half_up("p.j", 4)} AS jaccard,
+           {sql_round_half_up(f"({_MHC_AGREE_SQL}) / {MINHASH_CHECKED_PERMS}.0", 4)} AS mh_estimate
+    FROM pairs p
+    JOIN sigs a ON p.da = a.doc_id
+    JOIN sigs b ON p.db = b.doc_id
+    ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_minhash_checked", oracle=_MINHASH_CHECKED_ORACLE)
+def minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures from md5 permutations: for every true near-dup
+    pair, emit the exact Jaccard AND the signature-agreement estimate —
+    both engines compute identical signatures, so the ESTIMATOR itself is
+    hash-checked (the expected agreement equals the Jaccard; with 16
+    perms the estimate is coarse, which is exactly what the side-by-side
+    shows). Same aggregation shape as the production 64-perm xxhash64
+    path (explode once, min per permutation, map-side partials)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(shingles(F.col("text"), 3)).alias("s"))
+    mh = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{p}|"), F.col("s"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"m{p}")
+        for p in range(MINHASH_CHECKED_PERMS)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*mh)
+    pairs = _shingle_pairs(docs).filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"m{p}").alias(f"a{p}") for p in range(MINHASH_CHECKED_PERMS)]
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"m{p}").alias(f"b{p}") for p in range(MINHASH_CHECKED_PERMS)]
+    )
+    agree = None
+    for p in range(MINHASH_CHECKED_PERMS):
+        term = F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    return (
+        pairs.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            round_half_up(F.col("jaccard_raw"), 4).alias("jaccard"),
+            round_half_up(agree / F.lit(float(MINHASH_CHECKED_PERMS)), 4).alias("mh_estimate"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

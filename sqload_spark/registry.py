@@ -108,7 +108,10 @@ _loaded = False
 #   q7_volume_shipping / q8_market_share (tpch_more.py — the 6- and
 #   8-table TPC-H join classics), sketch_cms_checked (advanced.py —
 #   md5-cell CMS whose overestimation behavior is itself hash-checked),
-#   ts_ohlc_bars (timeseries.py — OHLC bars via order-free shuffles).
+#   ts_ohlc_bars (timeseries.py — OHLC bars via order-free shuffles),
+#   dedup_minhash_checked (dedup.py — md5-perm MinHash: the estimator
+#   itself hash-checked next to true Jaccard; completes the checked-
+#   sketch trilogy with SimHash and CMS).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",
