@@ -105,6 +105,7 @@ HEADLINE = [
     "sketch_cms_checked",
     "ts_ohlc_bars",
     "dedup_minhash_checked",
+    "dedup_cross_source_matrix",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

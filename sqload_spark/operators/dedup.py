@@ -1279,3 +1279,69 @@ def minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+_XSOURCE_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   for i in range(1, len(t) - 1)])) AS sh
+      FROM toks
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT da, db FROM inter
+      JOIN cnt ca ON da = ca.doc_id
+      JOIN cnt cb ON db = cb.doc_id
+      WHERE i::DOUBLE / (ca.n + cb.n - i) >= {JACCARD_THRESHOLD}
+    )
+    SELECT least(x.source, y.source) AS source_a,
+           greatest(x.source, y.source) AS source_b,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN x.source = y.source THEN 1 ELSE 0 END) AS BIGINT) AS n_intra
+    FROM pairs p
+    JOIN documents x ON p.da = x.doc_id
+    JOIN documents y ON p.db = y.doc_id
+    GROUP BY 1, 2
+    ORDER BY source_a, source_b
+"""
+
+
+@query("dedup_cross_source_matrix", oracle=_XSOURCE_ORACLE)
+def cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: near-dup pairs bucketed by the
+    (unordered) source pair — the provenance report that tells a curation
+    team WHICH feeds duplicate each other (mirror sites, scraped
+    re-posts) vs which duplicate internally. Pairs come from the LSH
+    miner; the matrix is two broadcast joins to the doc→source map plus a
+    |sources|²-bounded aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        _lsh_verified_pairs(docs)
+        .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    src = docs.select("doc_id", "source")
+    xa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    xb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(F.broadcast(xa), "doc_a")
+        .join(F.broadcast(xb), "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(F.col("src_a") == F.col("src_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_intra"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -111,7 +111,8 @@ _loaded = False
 #   ts_ohlc_bars (timeseries.py — OHLC bars via order-free shuffles),
 #   dedup_minhash_checked (dedup.py — md5-perm MinHash: the estimator
 #   itself hash-checked next to true Jaccard; completes the checked-
-#   sketch trilogy with SimHash and CMS).
+#   sketch trilogy with SimHash and CMS), dedup_cross_source_matrix
+#   (dedup.py — provenance matrix of near-dup pairs by source pair).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",
