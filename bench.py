@@ -106,6 +106,7 @@ HEADLINE = [
     "ts_ohlc_bars",
     "dedup_minhash_checked",
     "dedup_cross_source_matrix",
+    "text_quality_arrow_udf",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

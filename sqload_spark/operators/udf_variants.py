@@ -91,3 +91,46 @@ def top_terms_applyinpandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         _top_terms_group, schema="lang string, term string, n long, rnk int"
     )
     return out.orderBy("lang", "rnk")
+
+
+@query("text_quality_arrow_udf", oracle=QUALITY_ORACLE)
+def quality_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD Python UDF flavor: an Arrow-optimized scalar UDF
+    (``useArrow=True`` — row-signature Python with Arrow transport,
+    Spark 4's upgrade over pickled row UDFs). Same oracle as the
+    expression and pandas_udf versions, so all three execution paths are
+    proven interchangeable. Scalar UDFs remain the slowest tier (one
+    Python call per row vs per batch) — registered to complete the
+    taxonomy, not as a hot path."""
+    import math
+
+    stop = set(STOPWORDS)
+
+    @F.udf(
+        returnType=T.StructType(
+            [
+                T.StructField("n_tokens", T.LongType()),
+                T.StructField("type_token_ratio", T.DoubleType()),
+                T.StructField("stopword_ratio", T.DoubleType()),
+                T.StructField("avg_token_len", T.DoubleType()),
+                T.StructField("quality", T.DoubleType()),
+            ]
+        ),
+        useArrow=True,
+    )
+    def features(t: str):
+        toks = t.split(" ")
+        n = len(toks)
+        ttr = len(set(toks)) / n
+        stop_ratio = sum(1 for w in toks if w in stop) / n
+        avg_len = sum(len(w) for w in toks) / n
+        quality = 0.4 * ttr + 0.3 * (1 - stop_ratio) + 0.3 * min(n / 50.0, 1.0)
+        r4 = lambda x: math.floor(x * 10000.0 + 0.5) / 10000.0
+        return (n, r4(ttr), r4(stop_ratio), r4(avg_len), r4(quality))
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", features(F.col("text")).alias("f"))
+        .select("doc_id", "f.*")
+        .orderBy("doc_id")
+    )

@@ -112,7 +112,9 @@ _loaded = False
 #   dedup_minhash_checked (dedup.py — md5-perm MinHash: the estimator
 #   itself hash-checked next to true Jaccard; completes the checked-
 #   sketch trilogy with SimHash and CMS), dedup_cross_source_matrix
-#   (dedup.py — provenance matrix of near-dup pairs by source pair).
+#   (dedup.py — provenance matrix of near-dup pairs by source pair),
+#   text_quality_arrow_udf (udf_variants.py — Arrow-optimized scalar UDF,
+#   completing the three-flavor Python UDF taxonomy on one oracle).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",
