@@ -107,6 +107,8 @@ HEADLINE = [
     "dedup_minhash_checked",
     "dedup_cross_source_matrix",
     "text_quality_arrow_udf",
+    "dedup_keep_list_weighted",
+    "ts_resample_interp",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

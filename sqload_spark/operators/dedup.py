@@ -1345,3 +1345,78 @@ def cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+_WEIGHTED_KEEP_ORACLE = f"""
+    WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                   for i in range(1, len(t) - 1)])) AS sh
+      FROM toks
+    ),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT da, db FROM inter
+      JOIN cnt ca ON da = ca.doc_id
+      JOIN cnt cb ON db = cb.doc_id
+      WHERE i::DOUBLE / (ca.n + cb.n - i) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT da AS a, db AS b FROM pairs
+      UNION SELECT db, da FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    labels AS (
+      SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    best AS (
+      SELECT l.cluster_id,
+             max(row(d.n_chars, -d.doc_id)) AS _k
+      FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+      GROUP BY l.cluster_id
+    )
+    SELECT l.doc_id, l.cluster_id,
+           (b._k)[1] AS keep_n_chars,
+           -(b._k)[2] AS keep_doc_id,
+           CASE WHEN l.doc_id = -(b._k)[2] THEN 0 ELSE 1 END AS drop_flag
+    FROM labels l JOIN best b ON l.cluster_id = b.cluster_id
+    ORDER BY doc_id
+"""
+
+
+@query("dedup_keep_list_weighted", oracle=_WEIGHTED_KEEP_ORACLE)
+def keep_list_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor: within each near-dup cluster keep the
+    LONGEST document (tie-break lowest id) instead of the lowest id — the
+    policy real curation uses, because near-dups often differ by
+    truncation and the min-id pick systematically keeps the fragment. One
+    extra max-struct aggregation over the label table; everything
+    upstream is the shared LSH component machinery."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = component_labels(docs).withColumnRenamed("keep_doc_id", "cluster_id")
+    sized = labels.join(docs.select("doc_id", "n_chars"), "doc_id")
+    best = sized.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))).alias("k")
+    )
+    return (
+        labels.join(best, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("k.n_chars").alias("keep_n_chars"),
+            (-F.col("k.neg_id")).alias("keep_doc_id"),
+            F.when(F.col("doc_id") == -F.col("k.neg_id"), 0).otherwise(1).alias("drop_flag"),
+        )
+        .orderBy("doc_id")
+    )

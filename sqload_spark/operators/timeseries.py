@@ -681,3 +681,71 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day_sec")
     )
+
+
+@query(
+    "ts_resample_interp",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, epoch_us(ts) // {DAY_US} AS day, max(value) AS v
+      FROM events WHERE user_id <= 20 GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, min(day) AS lo, max(day) AS hi FROM daily GROUP BY user_id
+    ), axis AS (
+      SELECT s.user_id, unnest(range(s.lo, s.hi + 1)) AS day FROM spans s
+    ), joined AS (
+      SELECT a.user_id, a.day, d.v,
+             last_value(d.v IGNORE NULLS) OVER w_prev AS v_p,
+             last_value(CASE WHEN d.v IS NOT NULL THEN a.day END IGNORE NULLS) OVER w_prev AS d_p,
+             first_value(d.v IGNORE NULLS) OVER w_next AS v_n,
+             first_value(CASE WHEN d.v IS NOT NULL THEN a.day END IGNORE NULLS) OVER w_next AS d_n
+      FROM axis a LEFT JOIN daily d ON a.user_id = d.user_id AND a.day = d.day
+      WINDOW w_prev AS (PARTITION BY a.user_id ORDER BY a.day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_next AS (PARTITION BY a.user_id ORDER BY a.day
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day * 86400 AS day_sec,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS interpolated,
+           {sql_round_half_up(
+               "CASE WHEN v IS NOT NULL THEN v"
+               " ELSE v_p + (v_n - v_p) * (day - d_p) / (d_n - d_p) END", 4)} AS v_out
+    FROM joined
+    ORDER BY user_id, day_sec
+    """,
+)
+def resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resampling with LINEAR INTERPOLATION onto a dense daily grid — the
+    other half of gap handling (ts_gap_fill zero-fills; this estimates).
+    Missing days get v_p + (v_n − v_p)·Δ/span from the surrounding
+    observed days via two IGNORE NULLS windows — no self-join, one
+    shuffle on user_id. The weights are exact integer day ratios, so the
+    interpolated values hash-check. Dashboards and feature pipelines use
+    exactly this before feeding models that can't see gaps."""
+    ev = _events_us(spark, sf_dir).filter(F.col("user_id") <= 20)
+    daily = ev.groupBy(
+        "user_id", F.expr(f"ts_us div {DAY_US}").alias("day")
+    ).agg(F.max("value").alias("v"))
+    spans = daily.groupBy("user_id").agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    axis = spans.select("user_id", F.explode(F.sequence("lo", "hi")).alias("day"))
+    j = axis.join(daily, ["user_id", "day"], "left")
+    w_prev = W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    w_next = W.partitionBy("user_id").orderBy("day").rowsBetween(0, W.unboundedFollowing)
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    j = (
+        j.withColumn("v_p", F.last("v", ignorenulls=True).over(w_prev))
+        .withColumn("d_p", F.last(obs_day, ignorenulls=True).over(w_prev))
+        .withColumn("v_n", F.first("v", ignorenulls=True).over(w_next))
+        .withColumn("d_n", F.first(obs_day, ignorenulls=True).over(w_next))
+    )
+    interp = F.col("v_p") + (F.col("v_n") - F.col("v_p")) * (F.col("day") - F.col("d_p")) / (
+        F.col("d_n") - F.col("d_p")
+    )
+    return j.select(
+        "user_id",
+        (F.col("day") * 86400).alias("day_sec"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("interpolated"),
+        round_half_up(F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp), 4).alias(
+            "v_out"
+        ),
+    ).orderBy("user_id", "day_sec")

@@ -114,7 +114,10 @@ _loaded = False
 #   sketch trilogy with SimHash and CMS), dedup_cross_source_matrix
 #   (dedup.py — provenance matrix of near-dup pairs by source pair),
 #   text_quality_arrow_udf (udf_variants.py — Arrow-optimized scalar UDF,
-#   completing the three-flavor Python UDF taxonomy on one oracle).
+#   completing the three-flavor Python UDF taxonomy on one oracle),
+#   dedup_keep_list_weighted (dedup.py — longest-doc survivor policy),
+#   ts_resample_interp (timeseries.py — linear interpolation onto the
+#   dense daily grid via IGNORE NULLS windows).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",
