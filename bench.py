@@ -109,6 +109,11 @@ HEADLINE = [
     "text_quality_arrow_udf",
     "dedup_keep_list_weighted",
     "ts_resample_interp",
+    # round-4 session-4: TPC-H completion (22/22 plan shapes)
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

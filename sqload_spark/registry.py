@@ -29,6 +29,7 @@ ORACLES: dict[str, str] = {}
 _OPERATOR_MODULES = [
     "sqload_spark.operators.relational",
     "sqload_spark.operators.tpch_more",
+    "sqload_spark.operators.tpch_full",
     "sqload_spark.operators.stats",
     "sqload_spark.operators.text",
     "sqload_spark.operators.text_tfidf",
@@ -118,6 +119,13 @@ _loaded = False
 #   dedup_keep_list_weighted (dedup.py — longest-doc survivor policy),
 #   ts_resample_interp (timeseries.py — linear interpolation onto the
 #   dense daily grid via IGNORE NULLS windows).
+# Round-4 session-4 additions (operators/tpch_full.py — the remaining 12
+# TPC-H plan shapes, completing 22/22; all hash-green locally via
+# tools/check_queries.py and the pytest oracle suite):
+#   q2_min_cost_supplier, q4_order_priority, q9_product_profit,
+#   q11_important_stock, q12_shipmode_priority, q13_customer_distribution,
+#   q15_top_supplier, q16_parts_supplier_count, q17_small_quantity_revenue,
+#   q20_excess_supply, q21_waiting_suppliers, q22_global_sales.
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",

@@ -168,3 +168,32 @@ def test_join_strategy_hints_honored(spark):
     hinted = li.join(od.hint("shuffle_hash"), li.l_orderkey == od.o_orderkey)
     plan = plan_of(spark, hinted)
     assert "ShuffledHashJoin" in plan, "shuffle_hash hint not honored"
+
+
+def test_q21_rewrite_has_no_semi_anti_self_joins(spark):
+    """Q21's EXISTS/NOT-EXISTS pair is rewritten as one per-order
+    aggregate pair (tpch_full.py): the optimized plan must show the
+    late-line fact joining two aggregated per-order tables, not two extra
+    self-join passes over lineitem — the rewrite that halves the fact
+    shuffles at 100 TB. The oracle keeps the classic EXISTS form, so the
+    hash-match in test_correctness proves semantic equivalence."""
+    plan = plan_of(spark, registry.QUERIES["q21_waiting_suppliers"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4, "per-order aggregates missing"
+    assert "BroadcastHashJoin" in plan, "nation-scoped supplier dim should broadcast"
+
+
+def test_q17_correlated_avg_broadcasts_back(spark):
+    """Q17's correlated per-part AVG must come back as a broadcast join
+    (the per-part table is |parts|-sized), never a shuffle of the fact on
+    a non-key or a nested-loop."""
+    plan = plan_of(spark, registry.QUERIES["q17_small_quantity_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q11_scalar_threshold_is_broadcast_one_row(spark):
+    """Q11's global-threshold scalar subquery joins as a broadcast
+    nested loop over ONE row — the fact-side per-part table must not
+    shuffle for it."""
+    plan = plan_of(spark, registry.QUERIES["q11_important_stock"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
