@@ -114,6 +114,15 @@ HEADLINE = [
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
     "q21_waiting_suppliers",
+    # round-4 session-4: retrieval + linear-algebra + outer-join streaming
+    "text_bm25_topk",
+    "sim_mmr_rerank",
+    "q_embedding_gram",
+    "stream_stream_left_outer",
+    "sim_knn_triangles",
+    "etl_scd2_history",
+    "text_bigram_logprob",
+    "src_text_logparse",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

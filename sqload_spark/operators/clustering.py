@@ -256,3 +256,81 @@ def semantic_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster", F.col("best.vec_id").alias("rep_vec_id"), "n_members")
         .orderBy("cluster")
     )
+
+
+# --- distributed Gram matrix (the PCA / linear-probe building block) -------
+#
+# Covariance-style second-moment computation G = Xᵀ X over the embedding
+# corpus. The scalable shape is MAP-SIDE MATRIX PARTIALS: each Arrow batch
+# computes its local 64×64 outer-product sum with one BLAS matmul
+# (numpy), emits the matrix as dim² cells, and one tiny groupBy merges the
+# partials — shuffle volume is partitions × dim² cells, independent of
+# corpus size. This is exactly how distributed PCA / linear probes / whitening
+# matrices are computed over a 100 TB embedding table.
+#
+# Float discipline: per-ROW products are rounded to fixed-point 1e-12
+# int64 before ANY summation (numpy does it vectorized per batch), so the
+# partial sums are exact integers and the merged total is independent of
+# partitioning and summation order — that is what makes an oracle hash
+# possible for a mapInPandas matrix kernel. At |x| < 1 and n ≤ 1e6 rows
+# the cell sums stay < 1e15, far inside int64 (and inside double's 2^53
+# when converted for display); a larger corpus would bump the fixed point
+# to 1e-9 or use two-level int128 accumulation.
+GRAM_FP = 1_000_000_000_000  # 1e12 fixed-point
+
+
+@query(
+    "q_embedding_gram",
+    oracle=f"""
+    SELECT CAST(i.i AS INTEGER) AS i, CAST(j.j AS INTEGER) AS j,
+           {sql_round_half_up(
+               "CAST(sum(CAST(floor(CAST(embedding[i.i] AS DOUBLE) * "
+               "CAST(embedding[j.j] AS DOUBLE) * "
+               f"{GRAM_FP} + 0.5) AS BIGINT)) AS DOUBLE) / {GRAM_FP}", 6)} AS gram
+    FROM embeddings,
+         generate_series(1, {DIM}) i(i),
+         generate_series(1, {DIM}) j(j)
+    WHERE j.j >= i.i
+    GROUP BY 1, 2
+    ORDER BY i, j
+    """,
+)
+def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram matrix Xᵀ X (upper triangle) via mapInPandas
+    BLAS partials + exact fixed-point merge; the DuckDB oracle expands
+    the same cells relationally. See the block comment above for the
+    100 TB design and the float discipline that makes this hash-checkable."""
+    import numpy as np
+    import pandas as pd
+
+    iu, ju = np.triu_indices(DIM)
+    cells = len(iu)
+
+    def _partial_gram(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # per-row fixed-point rounding BEFORE the sum (exactness);
+            # floor(x+0.5) == the repo's cross-engine half-up rule
+            prods = x[:, iu] * x[:, ju]                       # n × cells
+            ints = np.floor(prods * GRAM_FP + 0.5).astype(np.int64)
+            sums = ints.sum(axis=0)                           # exact int64
+            yield pd.DataFrame(
+                {"i": (iu + 1).astype(np.int32), "j": (ju + 1).astype(np.int32),
+                 "cell": sums}
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    partials = emb.mapInPandas(_partial_gram, schema="i int, j int, cell long")
+    return (
+        partials.groupBy("i", "j")
+        .agg(F.sum("cell").alias("cell_total"))
+        .select(
+            "i", "j",
+            round_half_up(
+                F.col("cell_total").cast("double") / F.lit(float(GRAM_FP)), 6
+            ).alias("gram"),
+        )
+        .orderBy("i", "j")
+    )

@@ -580,3 +580,143 @@ def constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out.orderBy("rule")
+
+
+# --- SCD type-2 dimension build ---------------------------------------------
+# The warehouse-classic slowly-changing-dimension history: collapse each
+# user's event-type stream into validity intervals (one row per
+# consecutive run of the same state, with valid_from/valid_to and a
+# current flag). Complements etl_upsert_latest (SCD1 "keep latest") with
+# the full-history variant.
+#
+# Shape at 100 TB: everything is ONE shuffle on user_id — the change
+# detector (lag), the run numbering (running count of changes) and the
+# run collapse (groupBy user_id, run) all share the same partitioning, so
+# Catalyst plans a single Exchange followed by sorts. Order within a user
+# is made total with (ts_ns, event_id) so duplicate timestamps cannot
+# flip runs between engines.
+
+
+@query(
+    "etl_scd2_history",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, epoch_us(ts) AS t_us, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ), runs AS (
+      SELECT user_id, event_type, t_us, event_id,
+             sum(chg) OVER (PARTITION BY user_id
+                            ORDER BY t_us, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM ordered
+    ), collapsed AS (
+      SELECT user_id, run_id,
+             min(event_type) AS state,
+             min(t_us) AS valid_from_us,
+             count(*) AS n_events
+      FROM runs GROUP BY user_id, run_id
+    )
+    SELECT user_id, CAST(run_id AS BIGINT) AS version, state, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id)
+             AS valid_to_us,
+           n_events,
+           (lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY run_id)
+             IS NULL) AS is_current
+    FROM collapsed
+    ORDER BY user_id, version
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history of each user's event-type state — see block
+    comment for the one-shuffle plan shape and the total-order rule."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("t_us"),
+        "event_id",
+    )
+    w = W.partitionBy("user_id").orderBy("t_us", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    runs = ev.withColumn("chg", chg).withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    collapsed = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("state"),
+        F.min("t_us").alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    wv = W.partitionBy("user_id").orderBy("run_id")
+    valid_to = F.lead("valid_from_us").over(wv)
+    return (
+        collapsed.select(
+            "user_id",
+            F.col("run_id").cast("bigint").alias("version"),
+            "state",
+            "valid_from_us",
+            valid_to.alias("valid_to_us"),
+            "n_events",
+            valid_to.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# --- unstructured text-log ingestion ----------------------------------------
+# The log-parsing shape: structured rows rendered to an Apache-style text
+# log, ingested back via spark.read.text + regexp_extract per field. The
+# oracle aggregates the ORIGINAL events table, so the hash-match proves
+# the render→parse cycle is lossless — including doubles, which survive
+# because Spark's double→string is shortest-round-trip and the parse
+# casts it straight back. At 100 TB this is the classic raw-ingest ELT
+# step: schema-on-read, one narrow map per line, no shuffle until the
+# aggregation.
+
+_LOG_RE = r"^\[([0-9]+)\] user=([0-9]+) type=([a-z]+) value=([^ ]+) id=([0-9]+)$"
+
+
+@query(
+    "src_text_logparse",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(user_id AS BIGINT)) AS BIGINT) AS sum_users,
+           floor((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def text_logparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render events to text log lines, re-ingest with regexp schema-on-
+    read, aggregate — hash-checked against the pre-render table."""
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("["), F.col("ts_ns").cast("string"), F.lit("] user="),
+        F.col("user_id").cast("string"), F.lit(" type="), F.col("event_type"),
+        F.lit(" value="), F.col("value").cast("string"), F.lit(" id="),
+        F.col("event_id").cast("string"),
+    )
+    path = os.path.join(_SCRATCH, "events_textlog")
+    ev.select(line.alias("value")).write.mode("overwrite").text(path)
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.regexp_extract("value", _LOG_RE, 2).cast("bigint").alias("user_id"),
+        F.regexp_extract("value", _LOG_RE, 3).alias("event_type"),
+        F.regexp_extract("value", _LOG_RE, 4).cast("double").alias("value"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("user_id").cast("bigint").alias("sum_users"),
+            round_half_up(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -528,3 +528,233 @@ def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --- MMR diversified re-ranking ---------------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): after retrieval,
+# greedily pick k results trading relevance against redundancy —
+#   pick argmax_c  λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)
+# — the standard de-duplicating re-rank step of a RAG / retrieval stack.
+#
+# The greedy loop is inherently sequential, but it runs over a tiny
+# per-query CANDIDATE set (top-N from the distributed scan), so the 100 TB
+# shape is: distributed brute-force/ANN top-N (bounded shuffles, see
+# sim_topk_*) → per-query cogrouped Arrow batch → k greedy steps in numpy.
+# Nothing driver-side; queries parallelize perfectly.
+#
+# Float discipline: relevances and pairwise sims are rounded to 6dp by the
+# SAME Spark expressions the oracle mirrors, BEFORE the greedy loop; the
+# loop then does identical double arithmetic on identical inputs in both
+# engines, with explicit (score desc, n_id asc) tie-breaks. The oracle is a
+# recursive CTE that replays the greedy selection step by step — the
+# "iterative algorithm as SQL" proof that this non-relational operator is
+# still hash-checkable.
+
+MMR_LAMBDA = 0.7
+MMR_CANDIDATES = 20
+MMR_K = 5
+_R6 = 1_000_000.0  # 6dp rounding scale shared by both engines
+
+_MMR_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             floor(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) * {_R6} + 0.5) / {_R6} AS rel
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.{QUERY_PRED_SQL}
+    ),
+    cand AS (
+      SELECT q_id, n_id, rel FROM (
+        SELECT q_id, n_id, rel,
+               row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rn
+        FROM pairs) WHERE rn <= {MMR_CANDIDATES}
+    ),
+    sims AS (
+      SELECT a.q_id, a.n_id AS i, b.n_id AS j,
+             floor(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) * {_R6} + 0.5) / {_R6} AS sim
+      FROM cand a JOIN cand b ON a.q_id = b.q_id AND a.n_id <> b.n_id
+      JOIN embeddings ea ON ea.vec_id = a.n_id
+      JOIN embeddings eb ON eb.vec_id = b.n_id
+    ),
+    mmr AS (
+      SELECT q_id, 1 AS rnk,
+             -max(struct_pack(s := {MMR_LAMBDA} * rel, t := -n_id)).t AS n_id,
+             max(struct_pack(s := {MMR_LAMBDA} * rel, t := -n_id)).s AS score,
+             [-max(struct_pack(s := {MMR_LAMBDA} * rel, t := -n_id)).t] AS sel
+      FROM cand GROUP BY q_id
+      UNION ALL
+      SELECT q_id, rnk + 1 AS rnk,
+             -max(struct_pack(s := score, t := -n_id)).t AS n_id,
+             max(struct_pack(s := score, t := -n_id)).s AS score,
+             list_append(sel, -max(struct_pack(s := score, t := -n_id)).t) AS sel
+      FROM (
+        SELECT m.q_id, m.rnk, m.sel, c.n_id,
+               {MMR_LAMBDA} * c.rel - {1.0 - MMR_LAMBDA} * max(s.sim) AS score
+        FROM mmr m
+        JOIN cand c ON c.q_id = m.q_id AND NOT list_contains(m.sel, c.n_id)
+        JOIN sims s ON s.q_id = m.q_id AND s.i = c.n_id AND list_contains(m.sel, s.j)
+        WHERE m.rnk < {MMR_K}
+        GROUP BY m.q_id, m.rnk, m.sel, c.n_id, c.rel
+      )
+      GROUP BY q_id, rnk, sel
+    )
+    SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id,
+           {sql_round_half_up("score", 6)} AS mmr_score
+    FROM mmr ORDER BY q_id, rnk
+"""
+
+
+@query("sim_mmr_rerank", oracle=_MMR_ORACLE)
+def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-k re-rank (λ=0.7, 20 candidates → 5 picks) —
+    see the block comment for the algorithm, scale shape and the
+    recursive-CTE oracle that hash-checks the greedy loop itself."""
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    q = _queries_df(emb).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    rel6 = round_half_up(cosine(F.col("qv"), F.col("v")), 6)
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id", F.col("vec_id").alias("n_id"), F.col("v"), rel6.alias("rel")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("rel").desc(), F.col("n_id"))
+    cand = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MMR_CANDIDATES)
+        .select("q_id", "n_id", "rel", "v")
+    )
+    a = cand.alias("a")
+    b = cand.alias("b")
+    sims = (
+        a.join(
+            b,
+            (F.col("a.q_id") == F.col("b.q_id")) & (F.col("a.n_id") != F.col("b.n_id")),
+        )
+        .select(
+            F.col("a.q_id").alias("q_id"),
+            F.col("a.n_id").alias("i"),
+            F.col("b.n_id").alias("j"),
+            round_half_up(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+        )
+    )
+
+    def _greedy(cand_pdf: pd.DataFrame, sims_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cand_pdf):
+            return pd.DataFrame({"q_id": [], "rnk": [], "n_id": [], "mmr_score": []})
+        qid = int(cand_pdf["q_id"].iloc[0])
+        rel = dict(zip(cand_pdf["n_id"], cand_pdf["rel"]))
+        sim = {(i, j): s for i, j, s in zip(sims_pdf["i"], sims_pdf["j"], sims_pdf["sim"])}
+        remaining = set(rel)
+        sel: list[int] = []
+        out = []
+        for step in range(1, MMR_K + 1):
+            best = None  # (score, -n_id) maximized, i.e. ties -> smaller id
+            for c in remaining:
+                if sel:
+                    penalty = max(sim[(c, s)] for s in sel)
+                    score = MMR_LAMBDA * rel[c] - (1.0 - MMR_LAMBDA) * penalty
+                else:
+                    score = MMR_LAMBDA * rel[c]
+                key = (score, -c)
+                if best is None or key > best[0]:
+                    best = (key, c)
+            score, c = best[0][0], best[1]
+            sel.append(c)
+            remaining.discard(c)
+            # the repo's cross-engine half-up rounding
+            out.append((qid, step, c, float(np.floor(score * _R6 + 0.5) / _R6)))
+        return pd.DataFrame(out, columns=["q_id", "rnk", "n_id", "mmr_score"])
+
+    grouped = cand.drop("v").groupby("q_id").cogroup(sims.groupby("q_id"))
+    res = grouped.applyInPandas(
+        _greedy, schema="q_id long, rnk long, n_id long, mmr_score double"
+    )
+    return res.orderBy("q_id", "rnk")
+
+
+# --- triangle counting on the mutual-kNN graph ------------------------------
+# Per-node triangle support — the local-clustering signal used to find
+# tight semantic groups (high support ⇒ dense near-dup neighborhood, a
+# candidate for aggressive dedup; zero support ⇒ isolated content).
+# Classic distributed formulation: orient every undirected edge low→high,
+# then one self-join produces wedges and a second (semi-)join closes them —
+# join traffic is O(Σ deg²) on the EDGE LIST (k·n rows here), the fact
+# table is never touched again. The same two-join shape runs unchanged on
+# a 100 TB corpus once the edge list comes from the LSH miner instead of
+# the exact sub-corpus graph.
+
+_KNN_EDGES_SQL = f"""
+      sub AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {KNN_PRED_SQL}
+      ), pairs AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               list_cosine_similarity(a.v, b.v) AS cos_raw
+        FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+      ), knn AS (
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY cos_raw DESC, dst) AS rnk
+          FROM pairs)
+        WHERE rnk <= {KNN_K}
+      ), edges AS (
+        SELECT a.src AS va, a.dst AS vb
+        FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+        WHERE a.src < a.dst
+      )
+"""
+
+
+@query(
+    "sim_knn_triangles",
+    oracle=f"""
+    WITH {_KNN_EDGES_SQL},
+    tri AS (
+      SELECT e1.va AS a, e1.vb AS b, e2.vb AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.va = e1.vb
+      JOIN edges e3 ON e3.va = e1.va AND e3.vb = e2.vb
+    ),
+    members AS (
+      SELECT a AS vec_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT vec_id, count(*) AS n_triangles
+    FROM members GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the mutual-kNN edge set (see block
+    comment). Reuses knn_graph's edge construction; the triangle closure
+    is two joins on the oriented edge list, never on the corpus."""
+    # persist: the edge list feeds three join branches — without it the
+    # whole kNN mining subplan re-executes per branch (measured 94
+    # exchanges in the naive plan). The k·n-row edge table also broadcasts
+    # for the wedge/closure joins, so the triangle stage adds no shuffle.
+    edges = (
+        knn_graph(spark, sf_dir)
+        .select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
+        .persist()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(F.broadcast(e2), F.col("e2.va") == F.col("e1.vb"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.va") == F.col("e1.va")) & (F.col("e3.vb") == F.col("e2.vb")),
+            "left_semi",
+        )
+        .select(F.col("e1.va").alias("a"), F.col("e1.vb").alias("b"), F.col("e2.vb").alias("c"))
+    )
+    members = (
+        tri.select(F.col("a").alias("vec_id"))
+        .unionAll(tri.select(F.col("b").alias("vec_id")))
+        .unionAll(tri.select(F.col("c").alias("vec_id")))
+    )
+    return (
+        members.groupBy("vec_id").agg(F.count("*").alias("n_triangles")).orderBy("vec_id")
+    )

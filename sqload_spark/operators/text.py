@@ -808,3 +808,209 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# --- BM25 ranked retrieval ---------------------------------------------------
+# The lexical half of a hybrid retrieval stack (BM25 + embedding cosine):
+# Okapi BM25 with the standard k1=1.2, b=0.75 over the whitespace corpus,
+# scoring a fixed conjunctive term query. Everything is two bounded
+# aggregations + broadcasts; the fact table shuffles once on doc_id.
+#
+# Float discipline: per-(doc,term) contributions are rounded to 1e-9
+# fixed-point int64 BEFORE the per-doc sum, so partial-aggregation order
+# cannot flip the final rounding (same trick as q_embedding_gram). The ln
+# in the idf is evaluated once per TERM (3 rows), where a cross-engine ulp
+# difference is visible only if a contribution lands within an ulp of a
+# 0.5e-9 boundary — the same accepted exposure as text_unigram_logprob.
+
+BM25_TERMS = ("key", "order", "scan")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_FP = 1_000_000_000  # 1e9 fixed-point for per-term contributions
+BM25_TOPK = 20
+
+_BM25_TERMS_SQL = "('" + "', '".join(BM25_TERMS) + "')"
+
+_BM25_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE term IN {_BM25_TERMS_SQL} GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM tok WHERE term IN {_BM25_TERMS_SQL} GROUP BY term
+    ), contrib AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * {BM25_K1 + 1.0})
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+               * {BM25_FP} + 0.5) AS BIGINT) AS c
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+           {{score}} AS bm25,
+           count(*) AS n_terms
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT {BM25_TOPK}
+""".format(score=sql_round_half_up(f"CAST(sum(c) AS DOUBLE) / {BM25_FP}", 6))
+
+
+@query("text_bm25_topk", oracle=_BM25_ORACLE)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k for a fixed term query — see the block comment for
+    the scoring formula and the fixed-point float discipline.
+
+    100 TB shape: document lengths and term frequencies are each ONE
+    map-side-combined aggregation; the df table (|query| rows) and the
+    corpus stats (1 row) broadcast; the final top-k is
+    TakeOrderedAndProject, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    qtok = tok.filter(F.col("term").isin(*BM25_TERMS))
+    tf = qtok.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    df_t = qtok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = F.floor(
+        idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom * BM25_FP + 0.5
+    ).cast("bigint")
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            round_half_up(F.sum("c").cast("double") / F.lit(float(BM25_FP)), 6).alias("bm25"),
+            F.count("*").alias("n_terms"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+# --- held-out bigram LM quality score ---------------------------------------
+# The upgrade of text_unigram_logprob to a proper held-out evaluation: the
+# bigram model trains on the EVEN doc_ids and scores the ODD ones, so
+# unseen bigrams genuinely occur and the backoff path is exercised (a
+# same-corpus unigram score never triggers backoff). Scoring rule per
+# bigram (w1,w2): seen → C(w1,w2)/C(w1); unseen → stupid-backoff 0.4 ×
+# Laplace unigram (C(w2)+1)/(T+V). avg NLL per document.
+#
+# 100 TB shape identical to the unigram query: the trained model is the
+# vocabulary/bigram table — Zipf-bounded, broadcast back — and the scored
+# side shuffles once on doc_id. ln() exposure same as text_unigram_logprob.
+
+BIGRAM_ALPHA = 0.4
+
+_BIGRAM_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), big_all AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+    ), train_uni AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(t) AS w FROM toks WHERE doc_id % 2 = 0) GROUP BY w
+    ), train_big AS (
+      SELECT w1, w2, count(*) AS c FROM big_all WHERE doc_id % 2 = 0
+      GROUP BY w1, w2
+    ), consts AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS t_total,
+             CAST(count(*) AS DOUBLE) AS v_size
+      FROM train_uni
+    ), scored AS (
+      SELECT s.doc_id,
+             CASE WHEN b.c IS NOT NULL
+                  THEN CAST(b.c AS DOUBLE) / u1.c
+                  ELSE {alpha} * (COALESCE(u2.c, 0) + 1.0) / (consts.t_total + consts.v_size)
+             END AS p
+      FROM big_all s
+      LEFT JOIN train_big b ON s.w1 = b.w1 AND s.w2 = b.w2
+      LEFT JOIN train_uni u1 ON s.w1 = u1.w
+      LEFT JOIN train_uni u2 ON s.w2 = u2.w
+      CROSS JOIN consts
+      WHERE s.doc_id % 2 = 1
+    )
+    SELECT doc_id, count(*) AS n_bigrams,
+           {score} AS avg_nll
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+""".format(alpha=BIGRAM_ALPHA, score=sql_round_half_up("sum(-ln(p)) / count(*)", 4))
+
+
+@query("text_bigram_logprob", oracle=_BIGRAM_ORACLE)
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram LM scoring with stupid backoff — see block comment."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    bigram_structs = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.struct(
+            F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
+        ),
+    )
+    big_all = (
+        docs.filter(F.size(t) >= 2)
+        .select("doc_id", F.explode(bigram_structs).alias("bg"))
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    train_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    train_uni = (
+        train_docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    train_big = (
+        big_all.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+    )
+    consts = train_uni.agg(
+        F.sum("c").cast("double").alias("t_total"),
+        F.count("*").cast("double").alias("v_size"),
+    )
+    u1 = train_uni.select(F.col("w").alias("u1_w"), F.col("c").alias("c1"))
+    u2 = train_uni.select(F.col("w").alias("u2_w"), F.col("c").alias("c2"))
+    p = F.when(
+        F.col("cb").isNotNull(), F.col("cb").cast("double") / F.col("c1")
+    ).otherwise(
+        BIGRAM_ALPHA
+        * (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+        / (F.col("t_total") + F.col("v_size"))
+    )
+    return (
+        big_all.filter(F.col("doc_id") % 2 == 1)
+        .join(F.broadcast(train_big), ["w1", "w2"], "left_outer")
+        .join(F.broadcast(u1), F.col("w1") == F.col("u1_w"), "left_outer")
+        .join(F.broadcast(u2), F.col("w2") == F.col("u2_w"), "left_outer")
+        .crossJoin(F.broadcast(consts))
+        .select("doc_id", p.alias("p"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            round_half_up(F.sum(-F.log(F.col("p"))) / F.count("*"), 4).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )

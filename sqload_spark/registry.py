@@ -126,6 +126,20 @@ _loaded = False
 #   q11_important_stock, q12_shipmode_priority, q13_customer_distribution,
 #   q15_top_supplier, q16_parts_supplier_count, q17_small_quantity_revenue,
 #   q20_excess_supply, q21_waiting_suppliers, q22_global_sales.
+# Plus: text_bm25_topk (text.py — Okapi BM25 ranked retrieval, fixed-point
+#   contributions), sim_mmr_rerank (similarity.py — MMR diversified
+#   re-rank, greedy loop hash-checked via a recursive-CTE oracle),
+#   q_embedding_gram (clustering.py — distributed Gram matrix via
+#   mapInPandas BLAS partials + exact fixed-point merge),
+#   stream_stream_left_outer (streaming/joins.py — left-outer stream-stream
+#   join whose watermark-eviction semantics are themselves the oracle),
+#   sim_knn_triangles (similarity.py — per-node triangle counts on the
+#   mutual-kNN graph, two joins on the oriented edge list),
+#   etl_scd2_history (etl.py — SCD type-2 validity intervals, one shuffle),
+#   text_bigram_logprob (text.py — held-out bigram LM with stupid backoff,
+#   train-on-even / score-on-odd so the backoff path is exercised),
+#   src_text_logparse (etl.py — text-log render→regexp schema-on-read
+#   ingestion, lossless incl. shortest-round-trip doubles).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",

@@ -144,3 +144,117 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_memory(joined, output_mode="append")
     return out.orderBy("click_id", "purchase_id")
+
+
+# Left-outer stream-stream join: watermark delay chosen SHORT (10 min) so
+# the final watermark evicts most unmatched click state and the
+# null-extended rows actually appear in the replayed result.
+LO_DELAY_MIN = 10
+
+
+@query(
+    "stream_stream_left_outer",
+    oracle=f"""
+    WITH c AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+    ), fwm AS (
+      SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+             - INTERVAL {LO_DELAY_MIN} MINUTE AS wm
+    )
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+    FROM c JOIN p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTE
+    UNION ALL
+    SELECT c.user_id, c.event_id AS click_id,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           CAST(NULL AS BIGINT) AS gap_us
+    FROM c, fwm
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = c.user_id
+          AND p.ts >= c.ts
+          AND p.ts <= c.ts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTE)
+      AND c.ts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTE < fwm.wm
+    ORDER BY click_id, purchase_id
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution as a LEFT OUTER stream-stream join — the
+    shape that reports *unconverted* clicks as null-extended rows.
+
+    Outer results cannot be emitted eagerly (a matching purchase may still
+    arrive); Spark holds click state until the joint watermark passes the
+    click's last possible match time (c_ts + 30 min) and only then emits
+    the null row. The replay therefore yields: the full inner join, PLUS a
+    null row for every unmatched click whose expiry lies strictly below
+    the FINAL watermark = min(max click ts, max purchase ts) − 10 min
+    (the trailing no-data micro-batch performs the last eviction; clicks
+    closer than delay+interval to stream end stay in state forever — the
+    price of outer-join correctness on an unbounded stream). The oracle
+    encodes exactly that contract, so the eviction semantics themselves
+    are hash-checked.
+
+    The events table is replayed as TWO time-ordered files
+    (maxFilesPerTrigger=1), so mid-run eviction happens too — the final
+    result is watermark-timing-independent because eviction is monotone
+    in the watermark.
+    """
+    import tempfile
+
+    from sqload_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "user_id", "event_id", "event_type", "ts",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    split = ev.agg(
+        F.expr("percentile_approx(ts_us, 0.5, 10000)").alias("m")
+    ).first()[0]
+    in_dir = tempfile.mkdtemp(prefix="sqload_lo_in_")
+    ev.filter(F.col("ts_us") <= split).coalesce(1).write.mode("append").parquet(in_dir)
+    ev.filter(F.col("ts_us") > split).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        raw = (
+            spark.readStream.schema(
+                "user_id long, event_id long, event_type string, ts timestamp, ts_us long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        return (
+            raw.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user_id"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+                F.col("ts_us").alias(f"{prefix}_ts_us"),
+            )
+            .withWatermark(f"{prefix}_ts", f"{LO_DELAY_MIN} minutes")
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user_id") == F.col("p_user_id"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {ATTRIB_WINDOW_MIN} MINUTES")),
+        "left_outer",
+    ).select(
+        F.col("c_user_id").alias("user_id"),
+        F.col("c_id").alias("click_id"),
+        F.col("p_id").alias("purchase_id"),
+        (F.col("p_ts_us") - F.col("c_ts_us")).alias("gap_us"),
+    )
+    out = run_to_memory(joined, output_mode="append")
+    return out.orderBy("click_id", "purchase_id")

@@ -197,3 +197,28 @@ def test_q11_scalar_threshold_is_broadcast_one_row(spark):
     shuffle for it."""
     plan = plan_of(spark, registry.QUERIES["q11_important_stock"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_gram_partials_shuffle_only_cells(spark):
+    """The Gram matrix must shuffle ONLY the dim² partial cells (one
+    groupBy on (i,j)), never expand the corpus — no joins, no window."""
+    plan = plan_of(spark, registry.QUERIES["q_embedding_gram"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2, "map-side partial merge missing"
+
+
+def test_triangles_edge_list_is_cached_and_broadcast(spark):
+    """Triangle counting must compute the kNN edge list ONCE (persist) and
+    broadcast it for the wedge/closure joins — the naive plan re-mines the
+    graph per join branch."""
+    plan = plan_of(spark, registry.QUERIES["sim_knn_triangles"](spark, SF_DIR))
+    assert "InMemoryTableScan" in plan, "edge list not cached across branches"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scd2_single_user_shuffle_chain(spark):
+    """SCD2's change-detect window, run numbering and interval windows all
+    partition by user_id (± run key) — no joins and no corpus expansion."""
+    plan = plan_of(spark, registry.QUERIES["etl_scd2_history"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert plan.count("Window") >= 2
