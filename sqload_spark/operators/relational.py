@@ -84,6 +84,38 @@ query(
 )(pricing_summary)
 
 
+# SQL-string API parity: the exact same pricing summary submitted through
+# spark.sql() over a registered temp view — proving the engine's textual
+# SQL surface produces the identical (hash-checked) result as the
+# DataFrame plan. One registration per session; the view is just a
+# metadata alias over the parquet scan, so pushdown/pruning are unchanged.
+@query(
+    "q1_pricing_summary_sqltext",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+           floor((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,4))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary_sqltext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               floor((sum(l_quantity)) * 100.0D + 0.5D) / 100.0D AS sum_qty,
+               floor((CAST(sum(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(18,4))) AS DOUBLE)) * 100.0D + 0.5D) / 100.0D AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem_v
+        WHERE l_shipdate <= TIMESTAMP_NTZ '2001-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """)
+
+
 # ---------------------------------------------------------------------------
 # Scan / filter / project with pushdown-friendly predicates.
 # ---------------------------------------------------------------------------

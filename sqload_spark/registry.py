@@ -139,7 +139,9 @@ _loaded = False
 #   text_bigram_logprob (text.py — held-out bigram LM with stupid backoff,
 #   train-on-even / score-on-odd so the backoff path is exercised),
 #   src_text_logparse (etl.py — text-log render→regexp schema-on-read
-#   ingestion, lossless incl. shortest-round-trip doubles).
+#   ingestion, lossless incl. shortest-round-trip doubles),
+#   q1_pricing_summary_sqltext (relational.py — the flagship submitted as
+#   a spark.sql() string over a temp view: textual-SQL API parity).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",
