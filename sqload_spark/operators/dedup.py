@@ -1044,7 +1044,12 @@ def prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the ones the prefix excludes. Verification is candidate-only,
     as in the LSH path."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(shingle_hashes(F.col("text"), 3)).alias("h"))
+    # persist: the exploded shingle table feeds THREE consumers (df counts,
+    # per-doc sizes, the prefix base) — without it each consumer re-parses
+    # and re-hashes the corpus (measured 9.6 → 6.7 s warm at sf0.1)
+    sh = docs.select(
+        "doc_id", F.explode(shingle_hashes(F.col("text"), 3)).alias("h")
+    ).persist()
     df_counts = sh.groupBy("h").agg(F.count("*").alias("df"))
     n_per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     w = W.partitionBy("doc_id").orderBy("df", "h")

@@ -145,3 +145,44 @@ def from_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.sum("k").alias("k_sum"))
         .orderBy("k_bucket")
     )
+
+
+@query(
+    "q_not_in_null_semantics",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 42) FROM orders))
+        AS n_with_null,
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 42) FROM orders
+                               WHERE NULLIF(o_custkey, 42) IS NOT NULL))
+        AS n_null_stripped,
+      (SELECT count(*) FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+        AS n_not_exists
+    """,
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic parity: `x NOT IN (subquery)` is NEVER true when
+    the subquery yields a NULL (here NULLIF plants one), while the
+    NULL-stripped variant and NOT EXISTS count normally — the classic
+    correctness trap engines get wrong when they rewrite NOT IN as a plain
+    anti join. Spark plans the first column as a NULL-AWARE anti join
+    (broadcast, no fallback to per-row subqueries); the hash-match proves
+    the rewrite preserves SQL semantics. One row, three counts."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT
+          (SELECT count(*) FROM customer_v
+           WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 42) FROM orders_v))
+            AS n_with_null,
+          (SELECT count(*) FROM customer_v
+           WHERE c_custkey NOT IN (SELECT NULLIF(o_custkey, 42) FROM orders_v
+                                   WHERE NULLIF(o_custkey, 42) IS NOT NULL))
+            AS n_null_stripped,
+          (SELECT count(*) FROM customer_v
+           WHERE NOT EXISTS (SELECT 1 FROM orders_v WHERE o_custkey = c_custkey))
+            AS n_not_exists
+    """)

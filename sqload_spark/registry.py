@@ -141,7 +141,9 @@ _loaded = False
 #   src_text_logparse (etl.py — text-log render→regexp schema-on-read
 #   ingestion, lossless incl. shortest-round-trip doubles),
 #   q1_pricing_summary_sqltext (relational.py — the flagship submitted as
-#   a spark.sql() string over a temp view: textual-SQL API parity).
+#   a spark.sql() string over a temp view: textual-SQL API parity),
+#   q_not_in_null_semantics (subqueries.py — NOT IN three-valued-logic
+#   parity; Spark's null-aware anti join vs the planted-NULL trap).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",

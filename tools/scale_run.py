@@ -78,6 +78,18 @@ def build_corpus(spark: SparkSession, k: int) -> str:
     # `{sf_dir}/documents.parquet` expectation (a parquet *directory* reads
     # the same as the driver's single file)
     scaled.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    # embeddings: plain k× replication with a vec_id offset — enough for
+    # row-linear kernels (q_embedding_gram reads only the vector column);
+    # NOT valid for neighbor-structure queries (replicas are exact dupes).
+    emb = spark.read.parquet(f"{BASE_SF_DIR}/embeddings.parquet")
+    (
+        emb.crossJoin(reps)
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * ID_SPACE)
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/embeddings.parquet")
+    )
     return out
 
 
