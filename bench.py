@@ -123,6 +123,10 @@ HEADLINE = [
     "etl_scd2_history",
     "text_bigram_logprob",
     "src_text_logparse",
+    "src_csv_corrupt_tolerant",
+    "sim_crossencoder_rerank",
+    "q_length_bucketed_batches",
+    "dedup_minhash_eval",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

@@ -720,3 +720,70 @@ def text_logparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- corrupt-tolerant CSV ingestion -----------------------------------------
+# Production CSV feeds are dirty. This query renders events to CSV,
+# CORRUPTS a deterministic subset of rows (event_id % 97 == 0 → the
+# numeric value field becomes "###"), reads the feed back in PERMISSIVE
+# mode with a columnNameOfCorruptRecord sink column, and reports good/bad
+# row counts plus per-class aggregates. The corruption rule is pure
+# SQL, so the oracle derives the same partition from the ORIGINAL table —
+# hash-matching proves PERMISSIVE's exact contract: malformed rows are
+# quarantined with their PARSEABLE fields recovered (user_id still sums)
+# while only the malformed field nulls out, and every clean row survives
+# ingestion losslessly. Schema-on-read with an explicit schema, one narrow pass; at
+# 100 TB the corrupt column routes to a dead-letter sink instead of a
+# count.
+
+
+@query(
+    "src_csv_corrupt_tolerant",
+    oracle="""
+    SELECT (event_id % 97 = 0) AS is_corrupt,
+           count(*) AS n_rows,
+           CAST(sum(user_id) AS BIGINT) AS sum_users,
+           floor((CAST(sum(CASE WHEN event_id % 97 = 0 THEN CAST(0 AS DECIMAL(18,6))
+                                ELSE CAST(value AS DECIMAL(18,6)) END) AS DOUBLE)) * 100.0 + 0.5) / 100.0
+             AS sum_value
+    FROM events
+    GROUP BY 1
+    ORDER BY is_corrupt
+    """,
+)
+def csv_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion with corrupt-record quarantine — see the
+    block comment for the deterministic corruption rule and the oracle
+    contract."""
+    ev = load_table(spark, sf_dir, "events")
+    corrupt = F.col("event_id") % 97 == 0
+    line = F.concat_ws(
+        ",",
+        F.col("event_id").cast("string"),
+        F.col("user_id").cast("string"),
+        # corrupted rows emit a non-numeric value field
+        F.when(corrupt, F.lit("###")).otherwise(F.col("value").cast("string")),
+    )
+    path = os.path.join(_SCRATCH, "events_dirty_csv")
+    ev.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = "event_id bigint, user_id bigint, value double, _bad string"
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(path)
+    )
+    return (
+        back.groupBy(F.col("_bad").isNotNull().alias("is_corrupt"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.coalesce("user_id", F.lit(0))).cast("bigint").alias("sum_users"),
+            round_half_up(
+                F.sum(
+                    F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,6)")
+                ).cast("double"),
+                2,
+            ).alias("sum_value"),
+        )
+        .orderBy("is_corrupt")
+    )

@@ -566,3 +566,70 @@ def output_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+# --- length-bucketed dynamic batching ---------------------------------------
+# Training dataloaders group similar-length sequences so per-batch padding
+# (max_len × batch_size − Σ len) stays small. Distributed formulation:
+# coarse length bucket (power-of-two-ish bands) → deterministic md5 order
+# within the bucket → row_number ÷ B assigns batch ids → per-batch stats.
+# One shuffle on the bucket key; the padding-waste column quantifies what
+# the bucketing bought, hash-checked end to end. B and the bands are
+# compile-time constants so the oracle mirrors them exactly.
+
+BATCH_SIZE = 32
+LEN_BAND_TOKENS = 64  # bucket = n_tokens div 64
+
+
+@query(
+    "q_length_bucketed_batches",
+    oracle=f"""
+    WITH docs_len AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), assigned AS (
+      SELECT (n_tokens // {LEN_BAND_TOKENS}) AS bucket, doc_id, n_tokens,
+             CAST((row_number() OVER (
+               PARTITION BY (n_tokens // {LEN_BAND_TOKENS})
+               ORDER BY md5('batch|' || CAST(doc_id AS VARCHAR)), doc_id) - 1)
+               // {BATCH_SIZE} AS BIGINT) AS batch_id
+      FROM docs_len
+    )
+    SELECT bucket, batch_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(max(n_tokens) * count(*) - sum(n_tokens) AS BIGINT) AS padding_waste
+    FROM assigned
+    GROUP BY bucket, batch_id
+    ORDER BY bucket, batch_id
+    """,
+)
+def length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped batch assignment with per-batch padding-waste
+    accounting — see block comment."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    dl = docs.select("doc_id", n_tokens.alias("n_tokens"))
+    bucket = (F.col("n_tokens") / LEN_BAND_TOKENS).cast("long")
+    order_key = F.md5(F.concat(F.lit("batch|"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("bucket").orderBy(order_key, "doc_id")
+    assigned = (
+        dl.withColumn("bucket", bucket)
+        .withColumn(
+            "batch_id",
+            ((F.row_number().over(w) - 1) / BATCH_SIZE).cast("long"),
+        )
+    )
+    return (
+        assigned.groupBy("bucket", "batch_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            (F.max("n_tokens") * F.count("*") - F.sum("n_tokens"))
+            .cast("bigint")
+            .alias("padding_waste"),
+        )
+        .orderBy("bucket", "batch_id")
+    )

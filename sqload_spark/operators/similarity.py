@@ -758,3 +758,103 @@ def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         members.groupBy("vec_id").agg(F.count("*").alias("n_triangles")).orderBy("vec_id")
     )
+
+
+# --- cross-encoder re-rank (stub model, real plumbing) ----------------------
+# The last stage of a production retrieval stack: a cross-encoder scores
+# (query, candidate) PAIRS jointly — far costlier than a bi-encoder dot
+# product, so it only ever sees the top-N candidate lists. The Spark shape
+# is what matters at scale: candidates flow into an Arrow-batched pandas
+# UDF in (query, candidate)-pair batches — exactly how GPU inference is
+# fed — and only (ids, score) leave Python. The "model" here is an honest
+# STUB (no ML runtime in this container): an md5-derived pseudo-logit
+# blended with the bi-encoder prior. Because the stub is md5 arithmetic,
+# DuckDB reproduces it bit-for-bit, so the batching/re-rank plumbing is
+# HASH-CHECKED — swap `_fake_logit` for a real model call and nothing else
+# changes.
+
+CE_CANDIDATES = 10
+CE_TOP_K = 5
+CE_BLEND = 0.8  # weight of the bi-encoder prior in the final score
+
+_CE_ORACLE = f"""
+    WITH pairs AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+             floor(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS rel
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.{QUERY_PRED_SQL}
+    ),
+    cand AS (
+      SELECT q_id, n_id, rel FROM (
+        SELECT q_id, n_id, rel,
+               row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id) AS rn
+        FROM pairs) WHERE rn <= {CE_CANDIDATES}
+    ),
+    scored AS (
+      SELECT q_id, n_id,
+             floor(({CE_BLEND} * rel + {1.0 - CE_BLEND} *
+                    ((('0x' || substr(md5('ce|' || CAST(q_id AS VARCHAR) || '|' || CAST(n_id AS VARCHAR)), 1, 8))::BIGINT
+                      / 4294967296.0) - 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS ce_score
+      FROM cand
+    )
+    SELECT q_id, n_id, ce_score, rnk FROM (
+      SELECT q_id, n_id, ce_score,
+             row_number() OVER (PARTITION BY q_id ORDER BY ce_score DESC, n_id) AS rnk
+      FROM scored)
+    WHERE rnk <= {CE_TOP_K}
+    ORDER BY q_id, rnk
+"""
+
+
+@query("sim_crossencoder_rerank", oracle=_CE_ORACLE)
+def crossencoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder re-rank of bi-encoder candidates — stub model, real
+    Arrow pair-batching plumbing; see the block comment."""
+    import hashlib
+
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", to_double_array(F.col("embedding")).alias("v")
+    )
+    q = _queries_df(emb).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+    rel6 = round_half_up(cosine(F.col("qv"), F.col("v")), 6)
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id", F.col("vec_id").alias("n_id"), rel6.alias("rel")
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("rel").desc(), F.col("n_id"))
+    cand = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CE_CANDIDATES)
+        .select("q_id", "n_id", "rel")
+    )
+
+    def _infer(batches):
+        # one Arrow batch of (q_id, n_id, rel) pairs == one model batch
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            logits = [
+                (
+                    int(
+                        hashlib.md5(f"ce|{q}|{n}".encode()).hexdigest()[:8], 16
+                    )
+                    / 4294967296.0
+                )
+                - 0.5
+                for q, n in zip(pdf["q_id"], pdf["n_id"])
+            ]
+            score = CE_BLEND * pdf["rel"].to_numpy() + (1.0 - CE_BLEND) * np.asarray(logits)
+            score = np.floor(score * 1_000_000.0 + 0.5) / 1_000_000.0
+            yield pd.DataFrame(
+                {"q_id": pdf["q_id"], "n_id": pdf["n_id"], "ce_score": score}
+            )
+
+    scored = cand.mapInPandas(_infer, schema="q_id long, n_id long, ce_score double")
+    w2 = W.partitionBy("q_id").orderBy(F.col("ce_score").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= CE_TOP_K)
+        .select("q_id", "n_id", "ce_score", F.col("rnk").cast("bigint").alias("rnk"))
+        .orderBy("q_id", "rnk")
+    )

@@ -143,7 +143,15 @@ _loaded = False
 #   q1_pricing_summary_sqltext (relational.py — the flagship submitted as
 #   a spark.sql() string over a temp view: textual-SQL API parity),
 #   q_not_in_null_semantics (subqueries.py — NOT IN three-valued-logic
-#   parity; Spark's null-aware anti join vs the planted-NULL trap).
+#   parity; Spark's null-aware anti join vs the planted-NULL trap),
+#   src_csv_corrupt_tolerant (etl.py — PERMISSIVE CSV ingestion: corrupt
+#   rows quarantined with parseable fields recovered, hash-checked),
+#   sim_crossencoder_rerank (similarity.py — cross-encoder re-rank: stub
+#   md5 model, real Arrow pair-batching plumbing, hash-checked),
+#   q_length_bucketed_batches (sampling.py — length-grouped dynamic
+#   batching with per-batch padding-waste accounting),
+#   dedup_minhash_eval (dedup.py — sketch-only LSH decisions scored
+#   against exact truth: TP/FP/FN + precision/recall, hash-checked).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",
