@@ -127,6 +127,7 @@ HEADLINE = [
     "sim_crossencoder_rerank",
     "q_length_bucketed_batches",
     "dedup_minhash_eval",
+    "pipe_rag_corpus",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

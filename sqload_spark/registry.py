@@ -46,6 +46,7 @@ _OPERATOR_MODULES = [
     "sqload_spark.operators.advanced",
     "sqload_spark.operators.scale_ops",
     "sqload_spark.operators.clustering",
+    "sqload_spark.operators.rag",
     "sqload_spark.streaming.queries",
     "sqload_spark.streaming.stateful",
     "sqload_spark.streaming.joins",
@@ -151,7 +152,10 @@ _loaded = False
 #   q_length_bucketed_batches (sampling.py — length-grouped dynamic
 #   batching with per-batch padding-waste accounting),
 #   dedup_minhash_eval (dedup.py — sketch-only LSH decisions scored
-#   against exact truth: TP/FP/FN + precision/recall, hash-checked).
+#   against exact truth: TP/FP/FN + precision/recall, hash-checked),
+#   pipe_rag_corpus (rag.py — the round-4 composition: dedup survivors →
+#   chunk → md5 stub embedding → per-language manifest with an
+#   order-independent fp-sum receipt, all hash-checked).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",
