@@ -128,6 +128,8 @@ HEADLINE = [
     "q_length_bucketed_batches",
     "dedup_minhash_eval",
     "pipe_rag_corpus",
+    "qds_hour_bands",
+    "qds_yoy_ratio",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

@@ -686,3 +686,101 @@ def global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
+
+
+# --- TPC-DS-style shapes ----------------------------------------------------
+# Two signature TPC-DS plan shapes the TPC-H suite doesn't exercise,
+# adapted to the fixture schema.
+
+
+@query(
+    "qds_hour_bands",
+    oracle="""
+    SELECT
+      (SELECT count(*) FROM events WHERE hour(ts) BETWEEN 0  AND 2  AND event_type = 'view')     AS h0,
+      (SELECT count(*) FROM events WHERE hour(ts) BETWEEN 3  AND 5  AND event_type = 'view')     AS h1,
+      (SELECT count(*) FROM events WHERE hour(ts) BETWEEN 6  AND 8  AND event_type = 'click')    AS h2,
+      (SELECT count(*) FROM events WHERE hour(ts) BETWEEN 9  AND 11 AND event_type = 'click')    AS h3,
+      (SELECT count(*) FROM events WHERE hour(ts) BETWEEN 12 AND 14 AND event_type = 'purchase') AS h4,
+      (SELECT count(*) FROM events WHERE hour(ts) BETWEEN 15 AND 17 AND event_type = 'purchase') AS h5,
+      (SELECT count(*) FROM events WHERE hour(ts) BETWEEN 18 AND 20 AND event_type = 'signup')   AS h6,
+      (SELECT count(*) FROM events WHERE hour(ts) BETWEEN 21 AND 23 AND event_type = 'error')    AS h7
+    """,
+)
+def ds_hour_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 shape: one result row of eight independent banded
+    counts. The classic formulation (and the oracle) is eight scalar
+    subqueries — eight scans. The Spark plan here is the 100 TB rewrite:
+    ONE scan with eight conditional aggregates; the hash-match proves the
+    rewrite. (Spark would also accept the eight-subquery form, but each
+    subquery becomes its own scan stage — at a 100 TB fact table that is
+    8× the IO for literally the same answer.)"""
+    from sqload_spark.sources.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    hour = F.hour("ts")
+    bands = [
+        ((0, 2), "view"), ((3, 5), "view"), ((6, 8), "click"), ((9, 11), "click"),
+        ((12, 14), "purchase"), ((15, 17), "purchase"), ((18, 20), "signup"),
+        ((21, 23), "error"),
+    ]
+    aggs = [
+        F.sum(
+            F.when(
+                hour.between(lo, hi) & (F.col("event_type") == et), 1
+            ).otherwise(0)
+        ).cast("bigint").alias(f"h{i}")
+        for i, ((lo, hi), et) in enumerate(bands)
+    ]
+    return ev.agg(*aggs)
+
+
+@query(
+    "qds_yoy_ratio",
+    oracle=f"""
+    WITH yearly AS (
+      SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             {sql_exact_decimal_sum("o_totalprice", 2)} AS rev_d
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, o_year,
+           {sql_round_half_up("rev_d", 2)} AS revenue,
+           {sql_round_half_up(
+               "rev_d / lag(rev_d) OVER (PARTITION BY n_name ORDER BY o_year)", 6)} AS yoy_ratio
+    FROM yearly
+    QUALIFY lag(rev_d) OVER (PARTITION BY n_name ORDER BY o_year) IS NOT NULL
+    ORDER BY n_name, o_year
+    """,
+)
+def ds_yoy_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q47 shape: window-over-aggregate — yearly revenue per nation,
+    then a lag() ratio across years WITHIN the aggregated table. The
+    window runs on the |nations × years| aggregate, never the fact; the
+    ratio divides exact decimal sums so it is bit-stable at 6dp."""
+    from sqload_spark.sources.tables import load_table as _lt
+    from pyspark.sql import Window as W
+
+    od = _lt(spark, sf_dir, "orders")
+    cu = _lt(spark, sf_dir, "customer")
+    na = _lt(spark, sf_dir, "nation")
+    yearly = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(exact_decimal_sum(F.col("o_totalprice"), 2).alias("rev_d"))
+    )
+    w = W.partitionBy("n_name").orderBy("o_year")
+    prev = F.lag("rev_d").over(w)
+    return (
+        yearly.withColumn("prev", prev)
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "n_name", "o_year",
+            round_half_up(F.col("rev_d"), 2).alias("revenue"),
+            round_half_up(F.col("rev_d") / F.col("prev"), 6).alias("yoy_ratio"),
+        )
+        .orderBy("n_name", "o_year")
+    )

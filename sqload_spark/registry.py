@@ -155,7 +155,11 @@ _loaded = False
 #   against exact truth: TP/FP/FN + precision/recall, hash-checked),
 #   pipe_rag_corpus (rag.py — the round-4 composition: dedup survivors →
 #   chunk → md5 stub embedding → per-language manifest with an
-#   order-independent fp-sum receipt, all hash-checked).
+#   order-independent fp-sum receipt, all hash-checked),
+#   qds_hour_bands (tpch_full.py — TPC-DS Q88 shape: the eight-scalar-
+#   subquery classic rewritten as ONE conditional-aggregate scan, rewrite
+#   proven by the hash-match), qds_yoy_ratio (tpch_full.py — TPC-DS Q47
+#   shape: lag() window over the aggregated table, exact-decimal ratio).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",

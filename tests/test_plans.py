@@ -222,3 +222,16 @@ def test_scd2_single_user_shuffle_chain(spark):
     plan = plan_of(spark, registry.QUERIES["etl_scd2_history"](spark, SF_DIR))
     assert "Join" not in plan
     assert plan.count("Window") >= 2
+
+
+def test_q88_rewrite_is_single_scan(spark):
+    """The TPC-DS Q88 shape must compile to ONE events scan with eight
+    conditional aggregates — not the classic eight-scalar-subquery plan
+    (eight scans). The oracle keeps the classic form, so the hash-match
+    in test_correctness proves the rewrite; this asserts the IO claim."""
+    plan = plan_of(spark, registry.QUERIES["qds_hour_bands"](spark, SF_DIR))
+    # formatted explain lists each physical scan once as a "(n) Scan parquet"
+    # detail header (the tree shows it a second time)
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, f"multi-band counts re-scan the fact table ({n_scans} scans)"
+    assert "Join" not in plan
