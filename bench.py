@@ -130,6 +130,8 @@ HEADLINE = [
     "pipe_rag_corpus",
     "qds_hour_bands",
     "qds_yoy_ratio",
+    "text_vocab_coverage",
+    "stream_drift_scores",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

@@ -1014,3 +1014,77 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- tokenizer vocabulary coverage ------------------------------------------
+# The tokenizer-fit metric every corpus report carries: fix a vocabulary
+# (here: the corpus's top-256 terms — stand-in for a tokenizer's word
+# list), then measure per-language OOV rates and overall coverage. The
+# vocabulary is Zipf-bounded and broadcasts; the corpus is scanned once.
+
+VOCAB_SIZE = 256
+
+_VOCAB_ORACLE = f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term FROM documents
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, term) AS rn
+        FROM tok GROUP BY term) WHERE rn <= {VOCAB_SIZE}
+    ), flagged AS (
+      SELECT t.lang, t.doc_id,
+             count(*) AS n_tokens,
+             sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM tok t LEFT JOIN vocab v ON t.term = v.term
+      GROUP BY t.lang, t.doc_id
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_oov) AS BIGINT) AS total_oov,
+           {sql_round_half_up("1.0 - CAST(sum(n_oov) AS DOUBLE) / sum(n_tokens)", 6)} AS coverage
+    FROM flagged
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+@query("text_vocab_coverage", oracle=_VOCAB_ORACLE)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-256-term vocabulary coverage / OOV accounting per language —
+    see block comment."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    # top-k via orderBy+limit → TakeOrderedAndProject (distributed heap
+    # per partition + driver merge of k rows), never a one-partition
+    # global window over the whole vocabulary
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "term")
+        .limit(VOCAB_SIZE)
+        .select(F.col("term").alias("v_term"))
+    )
+    flagged = (
+        tok.join(F.broadcast(vocab), tok.term == F.col("v_term"), "left_outer")
+        .groupBy("lang", "doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("v_term").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_oov").cast("bigint").alias("total_oov"),
+            round_half_up(
+                1.0 - F.sum("n_oov").cast("double") / F.sum("n_tokens"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("lang")
+    )

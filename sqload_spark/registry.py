@@ -159,7 +159,11 @@ _loaded = False
 #   qds_hour_bands (tpch_full.py — TPC-DS Q88 shape: the eight-scalar-
 #   subquery classic rewritten as ONE conditional-aggregate scan, rewrite
 #   proven by the hash-match), qds_yoy_ratio (tpch_full.py — TPC-DS Q47
-#   shape: lag() window over the aggregated table, exact-decimal ratio).
+#   shape: lag() window over the aggregated table, exact-decimal ratio),
+#   text_vocab_coverage (text.py — top-256 vocabulary OOV/coverage per
+#   language; vocab via TakeOrderedAndProject, never a global window),
+#   stream_drift_scores (streaming/queries.py — per-hour event-type TVD
+#   vs the corpus baseline; windowed counts stream, fixed-point terms).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",

@@ -483,3 +483,99 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.unix_timestamp(F.col("w.start")).alias("ws_sec"), "n_events")
         .orderBy("ws_sec")
     )
+
+
+# --- streaming distribution-drift detection ---------------------------------
+# Data-quality monitoring for a live feed: per 1-hour window, compare the
+# event-type distribution against the whole-corpus baseline with TOTAL
+# VARIATION DISTANCE (TVD = ½ Σ|p_w − p_base|). The streaming piece is
+# the windowed count aggregation (the thing that must run incrementally);
+# the drift score is a per-window post-aggregation over ≤|types| rows.
+# Absent types still contribute |0 − q|, so windows join against the full
+# baseline type table. Per-type terms round to 1e-9 fixed-point int64
+# before the per-window sum — aggregation order can't move the score.
+
+HOUR_US = 3_600_000_000
+_DRIFT_FP = 1_000_000_000
+
+
+@query(
+    "stream_drift_scores",
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type, count(*) AS c FROM events GROUP BY event_type
+    ), tot AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS t FROM base
+    ), win AS (
+      SELECT (epoch_us(ts) // {HOUR_US}) * 3600 AS ws_sec, event_type,
+             count(*) AS c
+      FROM events GROUP BY 1, 2
+    ), wtot AS (
+      SELECT ws_sec, CAST(sum(c) AS DOUBLE) AS wt FROM win GROUP BY ws_sec
+    ), terms AS (
+      SELECT wtot.ws_sec,
+             CAST(floor(abs(COALESCE(win.c, 0) / wtot.wt
+                            - base.c / tot.t) * {_DRIFT_FP} + 0.5) AS BIGINT) AS term_fx,
+             COALESCE(win.c, 0) AS c
+      FROM wtot
+      CROSS JOIN base
+      CROSS JOIN tot
+      LEFT JOIN win ON win.ws_sec = wtot.ws_sec AND win.event_type = base.event_type
+    )
+    SELECT ws_sec,
+           CAST(sum(c) AS BIGINT) AS n_events,
+           {sql_round_half_up(f"0.5 * CAST(sum(term_fx) AS DOUBLE) / {_DRIFT_FP}", 6)} AS tvd
+    FROM terms
+    GROUP BY ws_sec
+    ORDER BY ws_sec
+    """,
+)
+def stream_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour event-type drift (TVD vs the corpus baseline) — the
+    windowed counts run as a real stream; see block comment."""
+    from sqload_spark.sources.tables import load_table
+
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("c"))
+    )
+    win = run_to_memory(agg, output_mode="complete").select(
+        F.unix_micros(F.col("w.start")).alias("ws_us"), "event_type", "c"
+    )
+    batch = load_table(spark, sf_dir, "events")
+    base = batch.groupBy("event_type").agg(F.count("*").alias("bc"))
+    tot = base.agg(F.sum("bc").cast("double").alias("t"))
+    wtot = win.groupBy("ws_us").agg(F.sum("c").cast("double").alias("wt"))
+    full = (
+        wtot.crossJoin(F.broadcast(base.select(F.col("event_type").alias("b_type"), "bc")))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            win,
+            (win.ws_us == wtot.ws_us) & (win.event_type == F.col("b_type")),
+            "left_outer",
+        )
+        .select(
+            wtot.ws_us.alias("ws"),
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+            F.floor(
+                F.abs(
+                    F.coalesce(F.col("c"), F.lit(0)) / F.col("wt")
+                    - F.col("bc") / F.col("t")
+                )
+                * _DRIFT_FP
+                + 0.5
+            ).cast("bigint").alias("term_fx"),
+        )
+    )
+    return (
+        full.groupBy(F.expr("ws div 1000000").alias("ws_sec"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_events"),
+            round_half_up(
+                0.5 * F.sum("term_fx").cast("double") / F.lit(float(_DRIFT_FP)), 6
+            ).alias("tvd"),
+        )
+        .orderBy("ws_sec")
+    )
