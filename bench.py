@@ -132,6 +132,8 @@ HEADLINE = [
     "qds_yoy_ratio",
     "text_vocab_coverage",
     "stream_drift_scores",
+    "q_window_ntile_bands",
+    "ts_asof_nearest_tolerance",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42

@@ -345,3 +345,47 @@ def winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q_window_ntile_bands",
+    oracle="""
+    WITH banded AS (
+      SELECT n_nationkey, c_custkey, c_acctbal,
+             ntile(4) OVER (PARTITION BY n_nationkey
+                            ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT n_nationkey, quartile,
+           count(*) AS n_customers,
+           floor((min(c_acctbal)) * 100.0 + 0.5) / 100.0 AS min_bal,
+           floor((max(c_acctbal)) * 100.0 + 0.5) / 100.0 AS max_bal
+    FROM banded
+    GROUP BY n_nationkey, quartile
+    ORDER BY n_nationkey, quartile
+    """,
+)
+def window_ntile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) banding — the bucketing window function (equal-count
+    quartiles per nation) the distribution suite hadn't covered; the
+    (c_acctbal, c_custkey) order key makes tile assignment total, so both
+    engines band identically."""
+    from pyspark.sql import Window as W
+
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    w = W.partitionBy("n_nationkey").orderBy("c_acctbal", "c_custkey")
+    banded = (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .select("n_nationkey", "c_custkey", "c_acctbal")
+        .withColumn("quartile", F.ntile(4).over(w))
+    )
+    return (
+        banded.groupBy("n_nationkey", "quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            round_half_up(F.min("c_acctbal"), 2).alias("min_bal"),
+            round_half_up(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("n_nationkey", "quartile")
+    )

@@ -749,3 +749,84 @@ def resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v_out"
         ),
     ).orderBy("user_id", "day_sec")
+
+
+# --- nearest-event join with tolerance --------------------------------------
+# The bidirectional cousin of the as-of join (ts_asof_join matches the
+# latest PRIOR event): each error event matches its NEAREST click by the
+# same user within ±5 minutes, either direction — sensor-fusion /
+# incident-correlation semantics an as-of can't express. Candidates come
+# from a banded time-bucket equi-join (each error probes its own bucket
+# ±1), so the join is never events × events; the argmin is the min-struct
+# aggregate with (abs_gap, click_id) as the total order.
+
+NEAREST_TOL_US = 300_000_000  # ±5 minutes
+
+
+@query(
+    "ts_asof_nearest_tolerance",
+    oracle=f"""
+    WITH errors AS (
+      SELECT event_id AS err_id, user_id, epoch_us(ts) AS e_us
+      FROM events WHERE event_type = 'error'
+    ), clicks AS (
+      SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+      FROM events WHERE event_type = 'click'
+    ), matched AS (
+      SELECT e.err_id, e.user_id,
+             min(struct_pack(g := abs(c.c_us - e.e_us), cid := c.click_id,
+                             sgn := CAST(c.c_us - e.e_us AS BIGINT))) AS best
+      FROM errors e JOIN clicks c
+        ON e.user_id = c.user_id
+       AND abs(c.c_us - e.e_us) <= {NEAREST_TOL_US}
+      GROUP BY e.err_id, e.user_id
+    )
+    SELECT err_id, user_id,
+           best.cid AS click_id,
+           best.sgn AS gap_us
+    FROM matched
+    ORDER BY err_id
+    """,
+)
+def asof_nearest_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest click within ±5 min of each error (either direction) — see
+    the block comment for the banded candidate join and argmin shape."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("e_user"),
+        F.expr("ts_ns div 1000").alias("e_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.expr("ts_ns div 1000").alias("c_us"),
+    )
+    # banded candidates: equi-join on (user, bucket) with the error probing
+    # its bucket and both neighbors — bounds candidates without a range join
+    bucket = lambda c: (c / NEAREST_TOL_US).cast("long")  # noqa: E731
+    cb = clicks.withColumn("bkt", bucket(F.col("c_us")))
+    eb = errors.withColumn(
+        "probe", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    ).withColumn("bkt", bucket(F.col("e_us")) + F.col("probe"))
+    gap = F.col("c_us") - F.col("e_us")
+    matched = (
+        eb.join(cb, (F.col("e_user") == F.col("c_user")) & (eb.bkt == cb.bkt))
+        .filter(F.abs(gap) <= NEAREST_TOL_US)
+        .groupBy("err_id", F.col("e_user").alias("user_id"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.abs(gap).alias("g"),
+                    F.col("click_id").alias("cid"),
+                    gap.cast("bigint").alias("sgn"),
+                )
+            ).alias("best")
+        )
+    )
+    return matched.select(
+        "err_id",
+        "user_id",
+        F.col("best.cid").alias("click_id"),
+        F.col("best.sgn").alias("gap_us"),
+    ).orderBy("err_id")

@@ -163,7 +163,11 @@ _loaded = False
 #   text_vocab_coverage (text.py — top-256 vocabulary OOV/coverage per
 #   language; vocab via TakeOrderedAndProject, never a global window),
 #   stream_drift_scores (streaming/queries.py — per-hour event-type TVD
-#   vs the corpus baseline; windowed counts stream, fixed-point terms).
+#   vs the corpus baseline; windowed counts stream, fixed-point terms),
+#   q_window_ntile_bands (stats.py — ntile(4) equal-count banding with a
+#   total order key), ts_asof_nearest_tolerance (timeseries.py —
+#   bidirectional nearest-event join via banded time buckets + min-struct
+#   argmin, the semantics an as-of join can't express).
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",
