@@ -168,6 +168,19 @@ _loaded = False
 #   total order key), ts_asof_nearest_tolerance (timeseries.py —
 #   bidirectional nearest-event join via banded time buckets + min-struct
 #   argmin, the semantics an as-of join can't express).
+# ROUND-5 WINDOW RECIPE (do this first next round): run
+# `python tools/coverage_report.py --list` against the fresh
+# CORRECTNESS_r04.json, then rebuild _PRIORITY as
+#   1. never-checked queries WITH oracles, highest-signal first — the 12
+#      TPC-H completions (q2_/q4_/q9_/q11_/q12_/q13_/q15_/q16_/q17_/q20_/
+#      q21_/q22_), sim_mmr_rerank, q_embedding_gram, text_bm25_topk,
+#      stream_stream_left_outer, dedup_minhash_eval, pipe_rag_corpus,
+#      sim_crossencoder_rerank, qds_*, then the rest of the staged list;
+#   2. any r01-stale rows CORRECTNESS_r04 did not refresh;
+#   3. rows-only entries last (they give the weaker check).
+# Every staged query is already green against the local driver sim
+# (tools/drive_entry.py, identical comparator) — the window just converts
+# that into external CORRECTNESS rows.
 _PRIORITY = [
     # -- never driver-checked (3 have oracles ready) ------------------------
     "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",
