@@ -7,8 +7,20 @@ bigint(20)` — /root/reference/README.md:37-47: 18.9 s single-threaded ≈
 529 K rows/s). Every query is forced end-to-end with a noop sink (full
 computation, no driver collect).
 
-Output: {"metric": "bench_total_sec", "value": <sum sec>, "unit": "sec",
-         "queries": {...per-query sec...}, "sf": <sf>, "gen_rows_per_sec": N}
+Output contract (round 5 — VERDICT r4 "Next round" #1): the stdout JSON line
+must stay well under the driver's ~2 KB tail-capture buffer (the r4 record was
+lost because a 105-entry per-query dict pushed the front of the JSON — where
+"value" lives — past the buffer). So stdout carries only the scalars plus the
+top-10 slowest entries, and the FULL per-query map is written to
+BENCH_DETAIL.json next to this file:
+
+  stdout: {"metric": "bench_total_sec", "value": <sum sec>, "unit": "sec",
+           "sf": <sf>, "gen_rows_per_sec": N, "n_queries": N,
+           "r3_subset_sec": <sum over the 25 entries BENCH_r03 recorded,
+                             for round-over-round comparability>,
+           "queries": {...top-10 slowest only...},
+           "detail": "BENCH_DETAIL.json"}
+  BENCH_DETAIL.json: the same scalars with the complete per-query map.
 """
 
 from __future__ import annotations
@@ -139,6 +151,21 @@ HEADLINE = [
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42
 GEN_BENCH_ROWS = 10_000_000
 
+# The exact entry set BENCH_r03 recorded (driver artifact, total 76.623 s).
+# Summed separately each round so the driver record keeps a like-for-like
+# round-over-round total even as the suite grows.
+R3_SUBSET = [
+    "dedup_embedding_cosine_banded", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "etl_jdbc_bulk_load", "gen_10m_arrow_backend", "gen_10m_expr_backend",
+    "gen_10m_reference_spec", "mm_decode_features", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_region_revenue", "q_chunk_documents",
+    "q_pack_sequences", "q_rollup_region_nation", "q_sample_hash",
+    "q_split_leakage_safe", "q_window_running_revenue",
+    "q_window_topk_per_customer", "sim_topk_bruteforce",
+    "sim_topk_hyperplane_lsh", "text_quality_score", "text_top_terms_per_lang",
+    "ts_asof_join", "ts_sessionize", "ts_tumbling_window",
+]
+
 
 def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
@@ -205,18 +232,25 @@ def main() -> None:
     timings = {k: min(p[k] for p in passes) for k in passes[0]}
     gen_sec = timings["gen_10m_reference_spec"]
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "gen_rows_per_sec": int(GEN_BENCH_ROWS / gen_sec),
-            }
-        )
+    scalars = {
+        "metric": "bench_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "gen_rows_per_sec": int(GEN_BENCH_ROWS / gen_sec),
+        "n_queries": len(timings),
+        "r3_subset_sec": round(sum(timings[k] for k in R3_SUBSET if k in timings), 3),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump({**scalars, "queries": timings}, f, indent=1, sort_keys=False)
+        f.write("\n")
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    line = json.dumps({**scalars, "queries": slowest, "detail": "BENCH_DETAIL.json"})
+    assert len(line) < 1800, f"stdout bench line too long for driver tail: {len(line)}"
+    print(line)
 
 
 if __name__ == "__main__":
