@@ -272,10 +272,14 @@ def semantic_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
 # int64 before ANY summation (numpy does it vectorized per batch), so the
 # partial sums are exact integers and the merged total is independent of
 # partitioning and summation order — that is what makes an oracle hash
-# possible for a mapInPandas matrix kernel. At |x| < 1 and n ≤ 1e6 rows
-# the cell sums stay < 1e15, far inside int64 (and inside double's 2^53
-# when converted for display); a larger corpus would bump the fixed point
-# to 1e-9 or use two-level int128 accumulation.
+# possible for a mapInPandas matrix kernel. Headroom (ADVICE r4 fix): at
+# |x| < 1 each per-row cell is < 1e12, so n rows sum to < n·1e12 — int64
+# (9.2e18) overflows only past ~9M worst-case rows; beyond that, drop the
+# fixed point to 1e-9 (headroom to ~9G rows) or accumulate two-level
+# (int64 within a partition, arbitrary-precision across partials). The
+# sums can exceed double's 2^53 long before int64 overflows, but both
+# engines apply the identical cast-to-double only at display, after the
+# exact integer merge, so the 6-decimal hash still matches.
 GRAM_FP = 1_000_000_000_000  # 1e12 fixed-point
 
 

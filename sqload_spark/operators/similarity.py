@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
 from sqload_spark.functions.vectors import cosine, dot, to_double_array
 from sqload_spark.registry import query
+from sqload_spark.session import persist_bounded
 from sqload_spark.sources.tables import load_table
 
 TOP_K = 5
@@ -430,7 +431,7 @@ def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     rev = knn.select(F.col("src").alias("dst"), F.col("dst").alias("src"))
-    edges = knn.join(rev, ["src", "dst"]).persist()
+    edges = persist_bounded("sim_pagerank_knn.edges", knn.join(rev, ["src", "dst"]))
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = deg.select(F.col("src").alias("vec_id"))
     n = nodes.agg(F.count("*").alias("n_nodes"))
@@ -733,10 +734,11 @@ def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole kNN mining subplan re-executes per branch (measured 94
     # exchanges in the naive plan). The k·n-row edge table also broadcasts
     # for the wedge/closure joins, so the triangle stage adds no shuffle.
-    edges = (
-        knn_graph(spark, sf_dir)
-        .select(F.col("vec_a").alias("va"), F.col("vec_b").alias("vb"))
-        .persist()
+    edges = persist_bounded(
+        "sim_knn_triangles.edges",
+        knn_graph(spark, sf_dir).select(
+            F.col("vec_a").alias("va"), F.col("vec_b").alias("vb")
+        ),
     )
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")

@@ -220,7 +220,7 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey AS p_partkey,
            {sql_round_half_up("value_d", 2)} AS stock_value
     FROM vals
-    WHERE value_d > (SELECT sum(value_d) * 0.001 FROM vals)
+    WHERE value_d * 1000 > (SELECT sum(value_d) FROM vals)
     ORDER BY stock_value DESC, p_partkey
     """,
 )
@@ -255,10 +255,15 @@ def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_d")
         )
     )
-    threshold = vals.agg((F.sum("value_d") * 0.001).alias("thresh"))
+    # Decimal-exact threshold (ADVICE r4): compare value_d*1000 > total so
+    # BOTH engines stay in exact decimal arithmetic — multiplying by the
+    # double literal 0.001 would route the Spark side through double and a
+    # part landing within one ulp of exactly 0.1% could classify
+    # differently across engines.
+    threshold = vals.agg(F.sum("value_d").alias("thresh"))
     return (
         vals.join(F.broadcast(threshold))
-        .filter(F.col("value_d") > F.col("thresh"))
+        .filter(F.col("value_d") * 1000 > F.col("thresh"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             round_half_up(F.col("value_d"), 2).alias("stock_value"),

@@ -44,6 +44,31 @@ def get_spark(app_name: str = "sqload_spark", shuffle_partitions: int | None = N
     return spark
 
 
+_PERSISTED: dict[str, object] = {}
+
+
+def persist_bounded(key: str, df):
+    """``persist()`` with session-lifetime bounding (ADVICE r4).
+
+    A long bench/driver session invokes the same query many times; an
+    unpaired ``persist()`` inside the query would pin one cached copy per
+    invocation and accumulate until executor memory pressure forces
+    eviction. Registering each cache under a stable per-call-site key and
+    unpersisting the previous epoch bounds the footprint to ONE cached
+    copy per site regardless of how often the query re-runs. (Unpersisting
+    inside the query itself is not an option: the caller materializes the
+    returned DataFrame after we return, which is when the cache pays off.)
+    """
+    prev = _PERSISTED.pop(key, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:  # session gone / already unpersisted — harmless
+            pass
+    _PERSISTED[key] = df.persist()
+    return df
+
+
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine configs to an externally created session.
 

@@ -224,6 +224,50 @@ def test_scd2_single_user_shuffle_chain(spark):
     assert plan.count("Window") >= 2
 
 
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Subtree text (tree section only) under each BroadcastExchange node."""
+    tree = plan.split("\n\n")[0].splitlines()
+
+    def depth(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-|"))
+
+    subs = []
+    for i, line in enumerate(tree):
+        if "BroadcastExchange" in line:
+            d = depth(line)
+            sub = []
+            for nxt in tree[i + 1 :]:
+                if not nxt.strip() or depth(nxt) <= d:
+                    break
+                sub.append(nxt)
+            subs.append("\n".join(sub))
+    return subs
+
+
+def test_edit_distance_never_broadcasts_corpus(spark):
+    """VERDICT r4 fix: the prefix-lookup joins must broadcast the MINED
+    PAIR side, never the per-document prefix table — a broadcast subtree
+    that is just Project→Scan over documents is a 100 TB OOM. Pair-derived
+    subtrees always contain the LSH mining (joins/aggregates).
+
+    Auto-broadcast is disabled while planning: at test SF the optimizer
+    legitimately auto-broadcasts sub-threshold corpus scans (stats-driven,
+    so it picks SMJ at real scale) — only the HINTED broadcasts, which
+    would be forced at any scale, must be pair-derived."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, registry.QUERIES["dedup_edit_distance"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    subs = _broadcast_subtrees(plan)
+    assert subs, "pair side should broadcast"
+    for sub in subs:
+        assert ("Join" in sub) or ("HashAggregate" in sub), (
+            "bare corpus scan under BroadcastExchange:\n" + sub
+        )
+
+
 def test_q88_rewrite_is_single_scan(spark):
     """The TPC-DS Q88 shape must compile to ONE events scan with eight
     conditional aggregates — not the classic eight-scalar-subquery plan

@@ -33,8 +33,13 @@ import __spark_entry__ as e  # noqa: E402
 
 qs, os_ = e.queries(), e.oracle_sql()
 if prefixes:
-    names += [n for n in qs if any(n.startswith(p) for p in prefixes)]
-if not names:
+    for p in prefixes:
+        hits = [n for n in qs if n.startswith(p)]
+        if not hits:
+            print(f"prefix matched no registered query: {p!r}")
+            sys.exit(2)
+        names += hits
+if not names and not prefixes:
     names = list(qs)
 missing = [n for n in names if n not in qs]
 if missing:
