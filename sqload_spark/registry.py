@@ -55,161 +55,55 @@ _OPERATOR_MODULES = [
 _loaded = False
 
 # The external correctness driver checks queries in registry order and stops
-# after a fixed window of 50. Round-4 rotation (VERDICT r2 "Next round" #1):
-#   1. the 4 queries that have never received a driver row,
-#   2. the 3 queries that just gained oracles (rows-only → hash-checkable),
-#   3. queries new in round 4,
-#   4. the queries whose latest green row is round 1 — ordered so the
-#      ones whose modules changed since round 1 (dedup, text, relational
-#      core) come first; the handful that don't fit (tpch_more/text_tfidf —
-#      their modules are byte-identical since round 1) wait for round 5.
-# Everything checked green in r02/r03 on current code rotates out of the
-# window; anything not listed keeps registration order after these.
-# Staged for the ROUND-5 window top (all oracle-green in the local suite
-# and in tools/drive_entry.py this round; adding them to the r4 window
-# would have dropped the r01-stale re-confirmation count below the
-# judge's bar):
-#   q_join_bucketed_colocated, q_training_order (operators/scale_ops.py),
-#   text_pii_scrub (text.py), dedup_incremental_shard (dedup.py),
-#   mm_frame_sample (multimodal.py),
-#   q_kmeans_assign, q_kmeans_refine, dedup_semantic_representative
-#   (operators/clustering.py),
-#   etl_partition_pruning, etl_upsert_latest (etl.py),
-#   q_window_range_frame (relational.py), q_source_quota_cap (sampling.py),
-#   text_gopher_quality, q_token_histogram (text.py),
-#   sim_knn_graph (similarity.py), stream_sliding_counts
-#   (streaming/queries.py), ts_gap_fill (timeseries.py), q_mode_per_group
-#   (stats.py), q_partial_agg_merge (scale_ops.py), sketch_hll_merge
-#   (advanced.py, rows-only by design).
-# Round-4 session-3 additions, likewise staged for the r5/r6 windows (all
-# oracle-green in tools/drive_entry.py and the pytest suite this round):
-#   stream_static_enrich, stream_stream_interval_join,
-#   stream_upsert_compaction (streaming/), text_unigram_logprob,
-#   text_inverted_index (text.py), dedup_exact_spans, dedup_cluster_sizes
-#   (dedup.py), sim_topk_blas, sim_pagerank_knn (similarity.py),
-#   ts_funnel_stages, ts_retention_cohorts, ts_ewma, ts_transition_matrix
-#   (timeseries.py), etl_zorder_cluster, src_schema_evolution,
-#   etl_file_sizing (etl.py), q_unpivot_measures (relational.py),
-#   q_profile_columns, q_equidepth_histogram, q_winsorize (stats.py),
-#   gen_datasource_table (generator_queries.py, rows-only by design),
-#   dedup_edit_distance (dedup.py), ts_window_unique_users,
-#   ts_anomaly_days (timeseries.py), mm_dedup_payload (multimodal.py),
-#   sim_vector_quantize (similarity.py),
-#   etl_dynamic_partition_overwrite (etl.py), q_array_higher_order
-#   (text_tfidf.py), etl_constraint_check (etl.py),
-#   stream_late_data_policy (streaming/queries.py — watermark drops
-#   hash-checked via the measured one-batch-lag model),
-#   q_sample_temperature (sampling.py), gen_stream_table
-#   (generator_queries.py — the sqload format's streaming reader,
-#   rows-only by design), dedup_prefix_filter (dedup.py — PPJoin-style
-#   exact set-similarity join, shares the exact oracle),
-#   sketch_histogram_merge (advanced.py — exact mergeable sketch),
-#   dedup_simhash_checked (dedup.py — md5-bit SimHash, banding ≡
-#   brute-force all-pairs hamming), pipe_output_manifest (sampling.py —
-#   one-row md5 receipt over the full pipeline manifest),
-#   q7_volume_shipping / q8_market_share (tpch_more.py — the 6- and
-#   8-table TPC-H join classics), sketch_cms_checked (advanced.py —
-#   md5-cell CMS whose overestimation behavior is itself hash-checked),
-#   ts_ohlc_bars (timeseries.py — OHLC bars via order-free shuffles),
-#   dedup_minhash_checked (dedup.py — md5-perm MinHash: the estimator
-#   itself hash-checked next to true Jaccard; completes the checked-
-#   sketch trilogy with SimHash and CMS), dedup_cross_source_matrix
-#   (dedup.py — provenance matrix of near-dup pairs by source pair),
-#   text_quality_arrow_udf (udf_variants.py — Arrow-optimized scalar UDF,
-#   completing the three-flavor Python UDF taxonomy on one oracle),
-#   dedup_keep_list_weighted (dedup.py — longest-doc survivor policy),
-#   ts_resample_interp (timeseries.py — linear interpolation onto the
-#   dense daily grid via IGNORE NULLS windows).
-# Round-4 session-4 additions (operators/tpch_full.py — the remaining 12
-# TPC-H plan shapes, completing 22/22; all hash-green locally via
-# tools/check_queries.py and the pytest oracle suite):
-#   q2_min_cost_supplier, q4_order_priority, q9_product_profit,
-#   q11_important_stock, q12_shipmode_priority, q13_customer_distribution,
-#   q15_top_supplier, q16_parts_supplier_count, q17_small_quantity_revenue,
-#   q20_excess_supply, q21_waiting_suppliers, q22_global_sales.
-# Plus: text_bm25_topk (text.py — Okapi BM25 ranked retrieval, fixed-point
-#   contributions), sim_mmr_rerank (similarity.py — MMR diversified
-#   re-rank, greedy loop hash-checked via a recursive-CTE oracle),
-#   q_embedding_gram (clustering.py — distributed Gram matrix via
-#   mapInPandas BLAS partials + exact fixed-point merge),
-#   stream_stream_left_outer (streaming/joins.py — left-outer stream-stream
-#   join whose watermark-eviction semantics are themselves the oracle),
-#   sim_knn_triangles (similarity.py — per-node triangle counts on the
-#   mutual-kNN graph, two joins on the oriented edge list),
-#   etl_scd2_history (etl.py — SCD type-2 validity intervals, one shuffle),
-#   text_bigram_logprob (text.py — held-out bigram LM with stupid backoff,
-#   train-on-even / score-on-odd so the backoff path is exercised),
-#   src_text_logparse (etl.py — text-log render→regexp schema-on-read
-#   ingestion, lossless incl. shortest-round-trip doubles),
-#   q1_pricing_summary_sqltext (relational.py — the flagship submitted as
-#   a spark.sql() string over a temp view: textual-SQL API parity),
-#   q_not_in_null_semantics (subqueries.py — NOT IN three-valued-logic
-#   parity; Spark's null-aware anti join vs the planted-NULL trap),
-#   src_csv_corrupt_tolerant (etl.py — PERMISSIVE CSV ingestion: corrupt
-#   rows quarantined with parseable fields recovered, hash-checked),
-#   sim_crossencoder_rerank (similarity.py — cross-encoder re-rank: stub
-#   md5 model, real Arrow pair-batching plumbing, hash-checked),
-#   q_length_bucketed_batches (sampling.py — length-grouped dynamic
-#   batching with per-batch padding-waste accounting),
-#   dedup_minhash_eval (dedup.py — sketch-only LSH decisions scored
-#   against exact truth: TP/FP/FN + precision/recall, hash-checked),
-#   pipe_rag_corpus (rag.py — the round-4 composition: dedup survivors →
-#   chunk → md5 stub embedding → per-language manifest with an
-#   order-independent fp-sum receipt, all hash-checked),
-#   qds_hour_bands (tpch_full.py — TPC-DS Q88 shape: the eight-scalar-
-#   subquery classic rewritten as ONE conditional-aggregate scan, rewrite
-#   proven by the hash-match), qds_yoy_ratio (tpch_full.py — TPC-DS Q47
-#   shape: lag() window over the aggregated table, exact-decimal ratio),
-#   text_vocab_coverage (text.py — top-256 vocabulary OOV/coverage per
-#   language; vocab via TakeOrderedAndProject, never a global window),
-#   stream_drift_scores (streaming/queries.py — per-hour event-type TVD
-#   vs the corpus baseline; windowed counts stream, fixed-point terms),
-#   q_window_ntile_bands (stats.py — ntile(4) equal-count banding with a
-#   total order key), ts_asof_nearest_tolerance (timeseries.py —
-#   bidirectional nearest-event join via banded time buckets + min-struct
-#   argmin, the semantics an as-of join can't express).
-# ROUND-5 WINDOW RECIPE (do this first next round): run
-# `python tools/coverage_report.py --list` against the fresh
-# CORRECTNESS_r04.json, then rebuild _PRIORITY as
-#   1. never-checked queries WITH oracles, highest-signal first — the 12
-#      TPC-H completions (q2_/q4_/q9_/q11_/q12_/q13_/q15_/q16_/q17_/q20_/
-#      q21_/q22_), sim_mmr_rerank, q_embedding_gram, text_bm25_topk,
-#      stream_stream_left_outer, dedup_minhash_eval, pipe_rag_corpus,
-#      sim_crossencoder_rerank, qds_*, then the rest of the staged list;
-#   2. any r01-stale rows CORRECTNESS_r04 did not refresh;
-#   3. rows-only entries last (they give the weaker check).
-# Every staged query is already green against the local driver sim
-# (tools/drive_entry.py, identical comparator) — the window just converts
-# that into external CORRECTNESS rows.
+# after a fixed window of 50. ROUND-5 rotation (VERDICT r4 "Next round" #2):
+# drain the verification debt — 98 of 201 registered queries had never
+# received an external driver row after round 4. This window converts 50 of
+# them:
+#   1-44: never-driver-checked queries with oracles, highest-signal first —
+#         the 12 TPC-H completions, the TPC-DS shapes, the round-4
+#         retrieval/graph/linear-algebra row, the checked-sketch trilogy,
+#         the fixed dedup_edit_distance + new dedup_pairs_materialized
+#         (write-once artifact demo), then the oldest staged items
+#         (scale_ops, clustering, etl);
+#   45-50: the six r01-stale rows whose modules changed in round 4
+#         (tpch_more.py gained Q7/Q8 in 7685b58; text_tfidf.py gained
+#         q_array_higher_order in 83ae16f — the old "byte-identical since
+#         round 1" rationale no longer held and they need fresh rows).
+# Everything hash-green in r03/r04 on current code rotates out. The ~54
+# still-never-checked queries (see tools/coverage_report.py --list) are all
+# green in the local driver sim (tools/drive_entry.py, same comparator) and
+# are staged for the round-6 window; per VERDICT r4 #3 the query surface is
+# FROZEN (only dedup_pairs_materialized added, mandated by #5) until the
+# debt drains below the window size.
+
 _PRIORITY = [
-    # -- never driver-checked (3 have oracles ready) ------------------------
-    "text_bpe_regex_tokens", "src_orc_roundtrip", "stream_dedup_events",
-    "sim_topk_hyperplane_lsh_pruned",
-    # -- newly oracled this round (were rows-only) --------------------------
-    "text_rolling_fingerprint", "stream_session_window",
-    "stream_stateful_profile",
-    # -- new in round 4 -----------------------------------------------------
-    "dedup_embedding_cosine_banded_pruned",
-    "text_contamination_ngram", "text_repetition_filter",
-    "stream_microbatch_progress",
-    # -- r01-stale, modules changed since: dedup + flagship + core ----------
-    "dedup_exact_groups", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "q1_pricing_summary", "q_filter_project", "q3_shipping_priority",
-    "q5_region_revenue", "q_semi_join", "q_anti_join",
-    "q_rollup_region_nation", "q_cube_returnflag_status",
-    "q_count_distinct", "q_approx_count_distinct", "q_having",
-    "q_pivot_status",
-    "q_window_topk_per_customer", "q_window_rank_dense",
-    "q_window_running_revenue", "q_window_lag_lead", "q_window_first_nth",
-    "q_window_distribution",
-    "q_topk_orders",
-    "q_intersect_custkeys", "q_except_custkeys", "q_union_priority_counts",
-    "q_string_funcs", "q_date_funcs", "q_math_funcs", "q_json_extract",
-    "q_stats_moments", "q_percentiles", "q_approx_percentile",
-    "q_string_agg",
-    "text_top_terms_per_lang", "text_langid_markers", "text_quality_score",
-    "text_token_counts", "text_md5_fingerprint",
-    "q_vector_norms",
+    # -- 12 TPC-H completions (round-4 session 4, never driver-checked) -----
+    "q2_min_cost_supplier", "q4_order_priority", "q9_product_profit",
+    "q11_important_stock", "q12_shipmode_priority",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_parts_supplier_count", "q17_small_quantity_revenue",
+    "q20_excess_supply", "q21_waiting_suppliers", "q22_global_sales",
+    # -- TPC-DS shapes ------------------------------------------------------
+    "qds_hour_bands", "qds_yoy_ratio",
+    # -- retrieval / graph / linear-algebra row (round-4 session 4) ---------
+    "text_bm25_topk", "sim_mmr_rerank", "q_embedding_gram",
+    "sim_knn_triangles", "etl_scd2_history", "text_bigram_logprob",
+    "stream_stream_left_outer", "dedup_minhash_eval", "pipe_rag_corpus",
+    "sim_crossencoder_rerank", "src_text_logparse",
+    "q1_pricing_summary_sqltext", "q_not_in_null_semantics",
+    "src_csv_corrupt_tolerant", "q_length_bucketed_batches",
+    # -- checked-sketch trilogy + mergeable histogram -----------------------
+    "dedup_simhash_checked", "dedup_minhash_checked", "sketch_cms_checked",
+    "sketch_histogram_merge",
+    # -- dedup: PPJoin, fixed-broadcast edit distance, write-once artifact --
+    "dedup_prefix_filter", "dedup_edit_distance", "dedup_pairs_materialized",
+    # -- oldest staged: scale_ops / clustering / etl ------------------------
+    "q_join_bucketed_colocated", "q_training_order", "q_partial_agg_merge",
+    "q_kmeans_assign", "q_kmeans_refine", "dedup_semantic_representative",
+    "etl_partition_pruning", "etl_upsert_latest",
+    # -- the six r01-stale rows (modules changed in round 4) ----------------
+    "q6_forecast_revenue", "q10_returned_items", "q14_promo_share",
+    "q18_large_orders", "q19_disjunctive_predicates", "text_tfidf_top_terms",
 ]
 
 
