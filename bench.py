@@ -146,6 +146,10 @@ HEADLINE = [
     "stream_drift_scores",
     "q_window_ntile_bands",
     "ts_asof_nearest_tolerance",
+    # round-5: write-once pair-mine artifact (mine once, three consumers
+    # read the parquet back — compare against dedup_cluster_sizes +
+    # dedup_keep_list re-mining independently)
+    "dedup_pairs_materialized",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42
