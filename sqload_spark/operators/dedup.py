@@ -713,9 +713,13 @@ def embedding_cosine_banded_pruned(spark: SparkSession, sf_dir: str) -> DataFram
     vb = corpus.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"), norm(F.col("v")).alias("n_b")
     )
+    # No broadcast hints on the re-rank joins: the vector table is
+    # corpus-sized, so forcing it broadcast would OOM at scale. Stats/AQE
+    # pick broadcast at test SF (the table is tiny there) and a shuffle
+    # join on vec_id once it isn't — the scale-adaptive choice.
     return (
-        candidates.join(F.broadcast(va), "vec_a")
-        .join(F.broadcast(vb), "vec_b")
+        candidates.join(va, "vec_a")
+        .join(vb, "vec_b")
         .withColumn("cos_raw", dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
         .filter(F.col("cos_raw") >= PRUNED_COSINE_THRESHOLD)
         .select("vec_a", "vec_b", round_half_up(F.col("cos_raw"), 4).alias("cos_sim"))
@@ -820,9 +824,12 @@ def embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     dot_expr = F.col("a0") * F.col("b0")
     for i in range(1, dim):
         dot_expr = dot_expr + F.col(f"a{i}") * F.col(f"b{i}")
+    # No broadcast hints: the unpacked vector table is corpus-sized, so a
+    # forced broadcast would OOM at scale. Stats/AQE still broadcast it at
+    # test SF (tiny) and fall back to a vec_id shuffle join once it isn't.
     return (
-        candidates.join(F.broadcast(va_x), "vec_a")
-        .join(F.broadcast(vb_x), "vec_b")
+        candidates.join(va_x, "vec_a")
+        .join(vb_x, "vec_b")
         .withColumn("cos_raw", dot_expr / (F.col("n_a") * F.col("n_b")))
         .filter(F.col("cos_raw") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", round_half_up(F.col("cos_raw"), 4).alias("cos_sim"))
@@ -1415,9 +1422,12 @@ def minhash_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in range(MINHASH_CHECKED_PERMS):
         term = F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0)
         agree = term if agree is None else agree + term
+    # Broadcast direction: the pair list is the small side — hinting the
+    # per-doc signature table (corpus-sized) would OOM at scale; join #2
+    # broadcasts the pair-bounded intermediate (pairs + a-signature).
+    with_a = a.join(F.broadcast(pairs), "doc_a")
     return (
-        pairs.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        b.join(F.broadcast(with_a), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -1466,8 +1476,8 @@ def cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unordered) source pair — the provenance report that tells a curation
     team WHICH feeds duplicate each other (mirror sites, scraped
     re-posts) vs which duplicate internally. Pairs come from the LSH
-    miner; the matrix is two broadcast joins to the doc→source map plus a
-    |sources|²-bounded aggregation."""
+    miner; the matrix is two source-lookup joins (pair side broadcast,
+    doc→source map streamed) plus a |sources|²-bounded aggregation."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = (
         _lsh_verified_pairs(docs)
@@ -1477,9 +1487,11 @@ def cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = docs.select("doc_id", "source")
     xa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
     xb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    # Broadcast the mined pair list, not the doc→source map: the map is one
+    # row per document (corpus-sized), the pairs are candidate-bounded.
+    with_a = xa.join(F.broadcast(pairs), "doc_a")
     return (
-        pairs.join(F.broadcast(xa), "doc_a")
-        .join(F.broadcast(xb), "doc_b")
+        xb.join(F.broadcast(with_a), "doc_b")
         .groupBy(
             F.least("src_a", "src_b").alias("source_a"),
             F.greatest("src_a", "src_b").alias("source_b"),

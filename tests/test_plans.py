@@ -66,8 +66,10 @@ def test_bruteforce_sim_broadcasts_queries(spark):
 
 
 def test_banded_cosine_rerank_broadcasts_vectors(spark):
-    """The candidate re-rank must broadcast the vectors-with-norms table —
-    candidate pairs (the big side) never shuffle for the join."""
+    """At test SF the stats-driven planner broadcasts the (tiny) vector
+    table for the candidate re-rank — without a hint, so that at real
+    scale, where the vector table is corpus-sized, the same code falls
+    back to a vec_id shuffle join instead of a forced-broadcast OOM."""
     plan = plan_of(spark, registry.QUERIES["dedup_embedding_cosine_banded"](spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2, "re-rank joins not broadcast"
 
