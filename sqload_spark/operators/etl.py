@@ -533,9 +533,12 @@ def constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     before publishing a partition: referential integrity (anti-join orphan
     counts), null checks, range checks, domain checks, one row of violation
     counts per rule. Each rule is a map-side filter count except the two
-    FK rules, which are left-anti broadcast joins against the (smaller)
-    parent keys — at 100 TB the anti-joins ride the same broadcast the
-    dimension joins use. A publish gate asserts every count is zero."""
+    FK rules, which are left-anti joins against the parent key column.
+    The parent sides (orders keys, customer keys) are FACT-scale, so they
+    are deliberately NOT hint-broadcast — the anti-join shuffles on the
+    key, stats/AQE still broadcast when a parent is genuinely small, and
+    Spark's runtime bloom-filter injection prunes the probe side at
+    scale. A publish gate asserts every count is zero."""
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders")
     cu = load_table(spark, sf_dir, "customer")
@@ -544,12 +547,12 @@ def constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         return cnt_df.select(F.lit(name).alias("rule"), F.col("n").alias("n_violations"))
 
     orphan_li = li.join(
-        F.broadcast(od.select("o_orderkey")),
+        od.select("o_orderkey"),
         li.l_orderkey == F.col("o_orderkey"),
         "left_anti",
     ).agg(F.count("*").alias("n"))
     orphan_od = od.join(
-        F.broadcast(cu.select("c_custkey")),
+        cu.select("c_custkey"),
         od.o_custkey == F.col("c_custkey"),
         "left_anti",
     ).agg(F.count("*").alias("n"))
