@@ -253,3 +253,28 @@ def test_incremental_shard_flags_only_new_docs(spark):
         assert r.doc_id % INCR_NEW_MOD == 0
         assert r.dup_of % INCR_NEW_MOD != 0 or r.dup_of < r.doc_id
         assert r.jaccard >= 0.5
+
+
+def test_component_labels_converge_beyond_iteration_cap(spark):
+    """Pointer jumping must label components whose DIAMETER exceeds the
+    10-iteration cap: a 60-node path needs 59 rounds of plain neighbor-min
+    propagation but only ~6 with label-of-label doubling. Guards against a
+    refactor quietly reverting to diameter-bounded propagation, which is
+    silently wrong (not slow — wrong) on long chains."""
+    from sqload_spark.operators.dedup import _labels_from_pairs
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], ["doc_a", "doc_b"]
+    )
+    labels = {r.doc_id: r.keep_doc_id for r in _labels_from_pairs(pairs).collect()}
+    assert len(labels) == 60
+    assert all(v == 0 for v in labels.values()), labels
+
+    # disjoint components keep distinct minima
+    two = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(100, j) for j in range(101, 111)],
+        ["doc_a", "doc_b"],
+    )
+    lab = {r.doc_id: r.keep_doc_id for r in _labels_from_pairs(two).collect()}
+    assert all(lab[i] == 0 for i in range(10))
+    assert all(lab[j] == 100 for j in range(100, 111))
