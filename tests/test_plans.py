@@ -270,6 +270,36 @@ def test_edit_distance_never_broadcasts_corpus(spark):
         )
 
 
+def test_q2_correlated_min_rewrite_uses_semi_joins(spark):
+    """Q2's correlated min-cost subquery must compile as agg + semi-join-
+    back — never a per-row re-scan or a cartesian pairing of the two
+    supplier branches."""
+    plan = plan_of(spark, registry.QUERIES["q2_min_cost_supplier"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("LeftSemi") >= 2, "correlated-subquery semi joins missing"
+
+
+def test_q20_threshold_join_is_non_equi_on_aggregates(spark):
+    """Q20's '30% of total shipped' predicate must be a join condition on
+    the pre-aggregated per-(supp,part) totals, not a post-cartesian
+    filter."""
+    plan = plan_of(spark, registry.QUERIES["q20_excess_supply"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"Join condition:.*total_qty.* \* 0\.3", plan), (
+        "30%-of-total threshold not pushed into a join condition"
+    )
+
+
+def test_q22_anti_join_plus_scalar_threshold(spark):
+    """Q22 = customers WITHOUT orders (anti join) above the average
+    balance (one-row broadcast comparison) — both visible in the plan."""
+    plan = plan_of(spark, registry.QUERIES["q22_global_sales"](spark, SF_DIR))
+    assert "LeftAnti" in plan, "no-orders condition should be an anti join"
+    assert re.search(r"Join condition:.*c_acctbal", plan), (
+        "average-balance threshold should be a broadcast one-row comparison"
+    )
+
+
 def test_q88_rewrite_is_single_scan(spark):
     """The TPC-DS Q88 shape must compile to ONE events scan with eight
     conditional aggregates — not the classic eight-scalar-subquery plan
