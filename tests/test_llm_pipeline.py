@@ -278,3 +278,39 @@ def test_component_labels_converge_beyond_iteration_cap(spark):
     lab = {r.doc_id: r.keep_doc_id for r in _labels_from_pairs(two).collect()}
     assert all(lab[i] == 0 for i in range(10))
     assert all(lab[j] == 100 for j in range(100, 111))
+
+
+def test_component_labels_match_union_find_on_random_graphs(spark):
+    """Cross-check the distributed labeling against a driver-side
+    union-find on seeded random graphs — catches propagation bugs that
+    path/star fixtures miss (odd cycles, bridges, self-merging chains)."""
+    import random
+
+    from sqload_spark.operators.dedup import _labels_from_pairs
+
+    rng = random.Random(7)
+    for _trial in range(2):
+        n = 80
+        edges = set()
+        for _ in range(90):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        # union-find with union-by-min: the root of every set IS its min
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {v: find(v) for e in edges for v in e}
+
+        pairs = spark.createDataFrame(sorted(edges), ["doc_a", "doc_b"])
+        got = {r.doc_id: r.keep_doc_id for r in _labels_from_pairs(pairs).collect()}
+        assert got == expected
