@@ -69,12 +69,37 @@ _loaded = False
 #         (tpch_more.py gained Q7/Q8 in 7685b58; text_tfidf.py gained
 #         q_array_higher_order in 83ae16f — the old "byte-identical since
 #         round 1" rationale no longer held and they need fresh rows).
-# Everything hash-green in r03/r04 on current code rotates out. The ~54
+# Everything hash-green in r03/r04 on current code rotates out. 55
 # still-never-checked queries (see tools/coverage_report.py --list) are all
 # green in the local driver sim (tools/drive_entry.py, same comparator) and
 # are staged for the round-6 window; per VERDICT r4 #3 the query surface is
 # FROZEN (only dedup_pairs_materialized added, mandated by #5) until the
 # debt drains below the window size.
+#
+# ROUND-6 WINDOW RECIPE (verify against CORRECTNESS_r05 first): rebuild
+# _PRIORITY with 50 of the 52 oracled never-checked queries —
+#   q7_volume_shipping, q8_market_share (the r4 TPC-H join classics),
+#   stream_stream_interval_join, stream_static_enrich,
+#   stream_upsert_compaction, stream_late_data_policy, stream_drift_scores,
+#   stream_sliding_counts (the staged streaming row),
+#   dedup_cluster_sizes, dedup_cross_source_matrix, dedup_exact_spans,
+#   dedup_incremental_shard, dedup_keep_list_weighted,
+#   sim_knn_graph, sim_pagerank_knn, sim_topk_blas, sim_vector_quantize,
+#   text_unigram_logprob, text_inverted_index, text_pii_scrub,
+#   text_gopher_quality, text_vocab_coverage, text_quality_arrow_udf,
+#   etl_constraint_check, etl_file_sizing, etl_zorder_cluster,
+#   etl_dynamic_partition_overwrite, src_schema_evolution,
+#   mm_frame_sample, mm_dedup_payload, pipe_output_manifest,
+#   the ts_* event-analytics block (anomaly_days, asof_nearest_tolerance,
+#   ewma, funnel_stages, gap_fill, ohlc_bars, resample_interp,
+#   retention_cohorts, transition_matrix, window_unique_users),
+#   q_array_higher_order, q_equidepth_histogram, q_mode_per_group,
+#   q_profile_columns, q_sample_temperature, q_source_quota_cap,
+#   q_token_histogram, q_unpivot_measures, q_window_ntile_bands,
+#   q_window_range_frame / q_winsorize (pick one; the other plus the 3
+#   rows-only entries — gen_datasource_table, gen_stream_table,
+#   sketch_hll_merge — land in round 7, which also re-freshens anything
+#   CORRECTNESS_r05 unexpectedly missed).
 
 _PRIORITY = [
     # -- 12 TPC-H completions (round-4 session 4, never driver-checked) -----
