@@ -1000,9 +1000,15 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
         / (F.col("t_total") + F.col("v_size"))
     )
+    # Broadcast discipline: the UNIGRAM tables are the broadcast model —
+    # vocabulary-bounded (Heaps-law sublinear), the conventional LM
+    # broadcast. The BIGRAM count table is NOT hinted: distinct bigrams
+    # grow near-linearly with the training corpus, so scoring joins it on
+    # (w1, w2) as a shuffle join at scale — stats/AQE still broadcast it
+    # at test SF where it is tiny.
     return (
         big_all.filter(F.col("doc_id") % 2 == 1)
-        .join(F.broadcast(train_big), ["w1", "w2"], "left_outer")
+        .join(train_big, ["w1", "w2"], "left_outer")
         .join(F.broadcast(u1), F.col("w1") == F.col("u1_w"), "left_outer")
         .join(F.broadcast(u2), F.col("w2") == F.col("u2_w"), "left_outer")
         .crossJoin(F.broadcast(consts))

@@ -246,11 +246,20 @@ def _broadcast_subtrees(plan: str) -> list[str]:
     return subs
 
 
-def test_edit_distance_never_broadcasts_corpus(spark):
-    """VERDICT r4 fix: the prefix-lookup joins must broadcast the MINED
-    PAIR side, never the per-document prefix table — a broadcast subtree
-    that is just Project→Scan over documents is a 100 TB OOM. Pair-derived
-    subtrees always contain the LSH mining (joins/aggregates).
+import pytest
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["dedup_edit_distance", "dedup_minhash_checked", "dedup_cross_source_matrix"],
+)
+def test_pair_lookup_joins_never_broadcast_corpus(spark, qname):
+    """VERDICT r4 fix, swept across every pair-lookup consumer: these
+    queries join a mined pair list against per-document tables (prefixes,
+    signatures, doc→source) — the broadcast build side must be the PAIR
+    side; a broadcast subtree that is just Project→Scan over documents is
+    a 100 TB OOM. Pair-derived subtrees always contain the mining
+    (joins/aggregates).
 
     Auto-broadcast is disabled while planning: at test SF the optimizer
     legitimately auto-broadcasts sub-threshold corpus scans (stats-driven,
@@ -259,7 +268,7 @@ def test_edit_distance_never_broadcasts_corpus(spark):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        plan = plan_of(spark, registry.QUERIES["dedup_edit_distance"](spark, SF_DIR))
+        plan = plan_of(spark, registry.QUERIES[qname](spark, SF_DIR))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     subs = _broadcast_subtrees(plan)
