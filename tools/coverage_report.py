@@ -4,6 +4,7 @@ staleness report the round judges track. Usage:
 
     python tools/coverage_report.py            # summary
     python tools/coverage_report.py --list     # per-query lines
+    python tools/coverage_report.py --window   # what the current window converts
 """
 
 from __future__ import annotations
@@ -52,6 +53,16 @@ def main() -> None:
         for key in sorted(buckets):
             for n in sorted(buckets[key]):
                 print(f"  {key:26s} {n}{'  [window]' if n in window else ''}")
+    if "--window" in sys.argv:
+        new = [n for n in window if n not in latest]
+        refresh = [n for n in window if n in latest]
+        wasted = [n for n in window if n not in os_]
+        print(f"\nwindow composition: {len(new)} first-ever driver rows, "
+              f"{len(refresh)} refreshes, {len(wasted)} rows-only (weaker check)")
+        for n in window:
+            status = "NEW" if n not in latest else f"refresh (last r{latest[n][0]})"
+            oracle = "oracle" if n in os_ else "ROWS-ONLY"
+            print(f"  {n:40s} {status:22s} {oracle}")
 
 
 if __name__ == "__main__":
