@@ -1715,24 +1715,53 @@ def minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("db"),
         *[F.col(f"m{p}").alias(f"bm{p}") for p in range(MINHASH_CHECKED_PERMS)],
     )
-    band_match = None
-    for band in range(MHE_BANDS):
-        m = None
-        for k in range(4):
-            p = band * 4 + k
-            e = F.col(f"am{p}") == F.col(f"bm{p}")
-            m = e if m is None else (m & e)
-        band_match = m if band_match is None else (band_match | m)
     agree = None
     for p in range(MINHASH_CHECKED_PERMS):
         term = F.when(F.col(f"am{p}") == F.col(f"bm{p}"), 1).otherwise(0)
         agree = term if agree is None else agree + term
-    # Registered at corpus scale with the signature self-join (the exact
-    # truth side below is quadratic anyway); the production path mines
-    # candidates through the banded shuffle (dedup_minhash_lsh).
+    # Predicted side via the BANDED SHUFFLE, not a signature self-join:
+    # "some band matches" is an equi-join on the exploded (band, 4-perm
+    # struct) rows — identical semantics to the oracle's OR-of-bands
+    # predicate (struct equality is exact value equality, no hashing), one
+    # bounded shuffle instead of the n² nested-loop the OR condition
+    # forces. The agreement filter then runs on candidates only, with the
+    # pair side broadcast per the corpus-broadcast policy. Only the TRUTH
+    # side below stays deliberately quadratic — being exact ground truth
+    # is its entire job, and it is labeled as such.
+    band_rows = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        F.struct(
+                            *[
+                                F.col(f"m{band * 4 + k}").alias(f"p{k}")
+                                for k in range(4)
+                            ]
+                        ).alias("sig4"),
+                    )
+                    for band in range(MHE_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.band", "b.sig4")
+    x, y = band_rows.alias("x"), band_rows.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig4") == F.col("y.sig4"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("da"), F.col("y.doc_id").alias("db"))
+        .distinct()
+    )
+    cand_a = a.join(F.broadcast(cand), "da")
     predicted = (
-        a.join(F.broadcast(b), (F.col("da") < F.col("db")))
-        .filter(band_match & (agree >= MHE_MIN_AGREE))
+        b.join(F.broadcast(cand_a), "db")
+        .filter(agree >= MHE_MIN_AGREE)
         .select("da", "db")
     )
     truth = (
