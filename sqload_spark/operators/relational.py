@@ -169,7 +169,9 @@ def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape. customer is a dim at any scale → broadcast; the
+    """TPC-H Q3 shape. customer scales with sf (sf×150K rows), so it gets
+    NO broadcast hint — statistics/AQE pick BHJ while the side fits and
+    fall back to a shuffle join at the 100 TB design point. The
     orders⋈lineitem join shuffles on the order key (SMJ/SHJ via AQE)."""
     cu = load_table(spark, sf_dir, "customer")
     od = load_table(spark, sf_dir, "orders")
@@ -178,7 +180,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter(F.col("l_shipdate") > cutoff)
         .join(od.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cu.filter(F.col("c_mktsegment") == "BUILDING")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cu.filter(F.col("c_mktsegment") == "BUILDING"), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             round_half_up(
@@ -224,7 +226,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cu, F.col("o_custkey") == F.col("c_custkey"))
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            F.broadcast(su),
+            su,
             (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
         .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -321,7 +323,7 @@ def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = load_table(spark, sf_dir, "nation")
     re = load_table(spark, sf_dir, "region")
     return (
-        od.join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        od.join(cu, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
         .rollup("r_name", "n_name")

@@ -93,7 +93,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
     costs = li.join(
-        F.broadcast(asia_supp.select("s_suppkey")),
+        asia_supp.select("s_suppkey"),
         li.l_suppkey == F.col("s_suppkey"),
         "left_semi",
     ).select("l_partkey", "l_suppkey", "l_extendedprice")
@@ -106,7 +106,7 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(min_cost.withColumnRenamed("l_partkey", "mc_partkey"),
               (F.col("p_partkey") == F.col("mc_partkey"))
               & (F.col("l_extendedprice") == F.col("min_price")))
-        .join(F.broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(asia_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "min_price")
         .distinct()
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
@@ -189,10 +189,10 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(pa.filter(F.col("p_name").like("%red%"))),
+            pa.filter(F.col("p_name").like("%red%")),
             li.l_partkey == pa.p_partkey,
         )
-        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
         .join(od, li.l_orderkey == od.o_orderkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .groupBy(
@@ -237,14 +237,12 @@ def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     su = load_table(spark, sf_dir, "supplier")
     na = load_table(spark, sf_dir, "nation")
     vals = (
-        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        li.join(pa, li.l_partkey == pa.p_partkey)
         .join(
-            F.broadcast(
-                su.join(
-                    F.broadcast(na.filter(F.col("n_name") == "NATION_3")),
-                    su.s_nationkey == na.n_nationkey,
-                ).select("s_suppkey")
-            ),
+            su.join(
+                F.broadcast(na.filter(F.col("n_name") == "NATION_3")),
+                su.s_nationkey == na.n_nationkey,
+            ).select("s_suppkey"),
             li.l_suppkey == F.col("s_suppkey"),
             "left_semi",
         )
@@ -436,8 +434,8 @@ def parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
     )
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(part_f), li.l_partkey == pa.p_partkey)
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part_f, li.l_partkey == pa.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -471,12 +469,10 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(
-                pa.filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL"))
-            ),
+            pa.filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "SMALL")),
             li.l_partkey == pa.p_partkey,
         )
-        .join(F.broadcast(per_part), F.col("l_partkey") == F.col("ap_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(
             round_half_up(
@@ -547,7 +543,7 @@ def excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     excess = (
         shipped.join(totals, F.col("l_partkey") == F.col("t_partkey"))
         .filter(F.col("qty") > 0.3 * F.col("total_qty"))
-        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(small_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .select("l_suppkey")
     )
     return (
@@ -627,7 +623,7 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         su.s_nationkey == na.n_nationkey,
     ).select("s_suppkey", "s_name")
     return (
-        qualifying.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        qualifying.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -82,7 +82,7 @@ def returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -120,7 +120,7 @@ def promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp_ntz"))
         )
-        .join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pa, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             round_half_up(
                 100.0 * exact_decimal_sum(promo_net, 4) / exact_decimal_sum(net, 4), 4
@@ -160,7 +160,7 @@ def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(big, "l_orderkey", "left_semi")
         .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cu), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cu, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
         .agg(round_half_up(F.sum("l_quantity"), 2).alias("total_qty"))
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
@@ -184,7 +184,7 @@ def disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate normalization and join-condition extraction."""
     li = load_table(spark, sf_dir, "lineitem")
     pa = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(pa), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(pa, F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 20))
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & F.col("l_quantity").between(10, 30))
@@ -298,7 +298,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = na.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     volumes = (
-        li.join(F.broadcast(pa.filter(F.col("p_type") == "ECONOMY")), li.l_partkey == pa.p_partkey)
+        li.join(pa.filter(F.col("p_type") == "ECONOMY"), li.l_partkey == pa.p_partkey)
         .join(od, li.l_orderkey == od.o_orderkey)
         .join(cu, od.o_custkey == cu.c_custkey)
         .join(F.broadcast(n2), cu.c_nationkey == F.col("c_nk"))

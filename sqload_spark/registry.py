@@ -55,80 +55,59 @@ _OPERATOR_MODULES = [
 _loaded = False
 
 # The external correctness driver checks queries in registry order and stops
-# after a fixed window of 50. ROUND-5 rotation (VERDICT r4 "Next round" #2):
-# drain the verification debt — 98 of 201 registered queries had never
-# received an external driver row after round 4. This window converts 50 of
-# them:
-#   1-44: never-driver-checked queries with oracles, highest-signal first —
-#         the 12 TPC-H completions, the TPC-DS shapes, the round-4
-#         retrieval/graph/linear-algebra row, the checked-sketch trilogy,
-#         the fixed dedup_edit_distance + new dedup_pairs_materialized
-#         (write-once artifact demo), then the oldest staged items
-#         (scale_ops, clustering, etl);
-#   45-50: the six r01-stale rows whose modules changed in round 4
-#         (tpch_more.py gained Q7/Q8 in 7685b58; text_tfidf.py gained
-#         q_array_higher_order in 83ae16f — the old "byte-identical since
-#         round 1" rationale no longer held and they need fresh rows).
-# Everything hash-green in r03/r04 on current code rotates out. 55
-# still-never-checked queries (see tools/coverage_report.py --list) are all
-# green in the local driver sim (tools/drive_entry.py, same comparator) and
-# are staged for the round-6 window; per VERDICT r4 #3 the query surface is
-# FROZEN (only dedup_pairs_materialized added, mandated by #5) until the
-# debt drains below the window size.
+# after a fixed window of 50. ROUND-6 rotation (VERDICT r5 "Next round" #1):
+# CORRECTNESS_r05 came back 50/50 hash-green, so every r5-window query
+# rotates out and this window converts 50 of the 52 oracled
+# never-driver-checked queries (tools/coverage_report.py --list). All 50
+# are green under the identical local comparator (tools/drive_entry.py)
+# and 10 were independently re-run by the r5 judge (10/10 MATCH). The two
+# oracled names deliberately left out — etl_zorder_cluster and q_winsorize
+# — are exactly the judge-sampled ones with standing independent evidence.
 #
-# ROUND-6 WINDOW RECIPE (verify against CORRECTNESS_r05 first): rebuild
-# _PRIORITY with 50 of the 52 oracled never-checked queries —
-#   q7_volume_shipping, q8_market_share (the r4 TPC-H join classics),
-#   stream_stream_interval_join, stream_static_enrich,
-#   stream_upsert_compaction, stream_late_data_policy, stream_drift_scores,
-#   stream_sliding_counts (the staged streaming row),
-#   dedup_cluster_sizes, dedup_cross_source_matrix, dedup_exact_spans,
-#   dedup_incremental_shard, dedup_keep_list_weighted,
-#   sim_knn_graph, sim_pagerank_knn, sim_topk_blas, sim_vector_quantize,
-#   text_unigram_logprob, text_inverted_index, text_pii_scrub,
-#   text_gopher_quality, text_vocab_coverage, text_quality_arrow_udf,
-#   etl_constraint_check, etl_file_sizing, etl_zorder_cluster,
-#   etl_dynamic_partition_overwrite, src_schema_evolution,
-#   mm_frame_sample, mm_dedup_payload, pipe_output_manifest,
-#   the ts_* event-analytics block (anomaly_days, asof_nearest_tolerance,
-#   ewma, funnel_stages, gap_fill, ohlc_bars, resample_interp,
-#   retention_cohorts, transition_matrix, window_unique_users),
-#   q_array_higher_order, q_equidepth_histogram, q_mode_per_group,
-#   q_profile_columns, q_sample_temperature, q_source_quota_cap,
-#   q_token_histogram, q_unpivot_measures, q_window_ntile_bands,
-#   q_window_range_frame / q_winsorize (pick one; the other plus the 3
-#   rows-only entries — gen_datasource_table, gen_stream_table,
-#   sketch_hll_merge — land in round 7, which also re-freshens anything
-#   CORRECTNESS_r05 unexpectedly missed).
+# ROUND-7 WINDOW RECIPE (verify against CORRECTNESS_r06 first):
+#   1. etl_zorder_cluster, q_winsorize (the two oracled stragglers above);
+#   2. q_approx_count_distinct, q_approx_percentile — converted to checked
+#      twins in round 6 (estimate/exact/within_bound columns, the
+#      sketch_cms_checked pattern) and now oracled;
+#   3. any name CORRECTNESS_r06 unexpectedly missed or errored;
+#   4. fill the remaining ~45 slots with staleness refreshes, oldest
+#      driver-round first (tools/coverage_report.py --list sorts by round:
+#      the r01/r03 rows first — q1_pricing_summary, q3_shipping_priority,
+#      q5_local_supplier, src_parquet/csv/json/orc roundtrips, the r03
+#      dedup/text/sim core), skipping rows-only-by-design entries
+#      (gen_datasource_table, gen_stream_table, sketch_hll_merge,
+#      LSH/IVF recall paths, mm_decode_features — law-tested instead).
 
 _PRIORITY = [
-    # -- 12 TPC-H completions (round-4 session 4, never driver-checked) -----
-    "q2_min_cost_supplier", "q4_order_priority", "q9_product_profit",
-    "q11_important_stock", "q12_shipmode_priority",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q16_parts_supplier_count", "q17_small_quantity_revenue",
-    "q20_excess_supply", "q21_waiting_suppliers", "q22_global_sales",
-    # -- TPC-DS shapes ------------------------------------------------------
-    "qds_hour_bands", "qds_yoy_ratio",
-    # -- retrieval / graph / linear-algebra row (round-4 session 4) ---------
-    "text_bm25_topk", "sim_mmr_rerank", "q_embedding_gram",
-    "sim_knn_triangles", "etl_scd2_history", "text_bigram_logprob",
-    "stream_stream_left_outer", "dedup_minhash_eval", "pipe_rag_corpus",
-    "sim_crossencoder_rerank", "src_text_logparse",
-    "q1_pricing_summary_sqltext", "q_not_in_null_semantics",
-    "src_csv_corrupt_tolerant", "q_length_bucketed_batches",
-    # -- checked-sketch trilogy + mergeable histogram -----------------------
-    "dedup_simhash_checked", "dedup_minhash_checked", "sketch_cms_checked",
-    "sketch_histogram_merge",
-    # -- dedup: PPJoin, fixed-broadcast edit distance, write-once artifact --
-    "dedup_prefix_filter", "dedup_edit_distance", "dedup_pairs_materialized",
-    # -- oldest staged: scale_ops / clustering / etl ------------------------
-    "q_join_bucketed_colocated", "q_training_order", "q_partial_agg_merge",
-    "q_kmeans_assign", "q_kmeans_refine", "dedup_semantic_representative",
-    "etl_partition_pruning", "etl_upsert_latest",
-    # -- the six r01-stale rows (modules changed in round 4) ----------------
-    "q6_forecast_revenue", "q10_returned_items", "q14_promo_share",
-    "q18_large_orders", "q19_disjunctive_predicates", "text_tfidf_top_terms",
+    # -- TPC-H r4 join classics (judge-sampled MATCH, now for driver rows) --
+    "q7_volume_shipping", "q8_market_share",
+    # -- staged streaming block --------------------------------------------
+    "stream_stream_interval_join", "stream_static_enrich",
+    "stream_upsert_compaction", "stream_late_data_policy",
+    "stream_drift_scores", "stream_sliding_counts",
+    # -- staged dedup block -------------------------------------------------
+    "dedup_cluster_sizes", "dedup_cross_source_matrix", "dedup_exact_spans",
+    "dedup_incremental_shard", "dedup_keep_list_weighted",
+    # -- staged similarity / graph block ------------------------------------
+    "sim_knn_graph", "sim_pagerank_knn", "sim_topk_blas",
+    "sim_vector_quantize",
+    # -- staged text block --------------------------------------------------
+    "text_unigram_logprob", "text_inverted_index", "text_pii_scrub",
+    "text_gopher_quality", "text_vocab_coverage", "text_quality_arrow_udf",
+    # -- staged ETL / source block ------------------------------------------
+    "etl_constraint_check", "etl_file_sizing",
+    "etl_dynamic_partition_overwrite", "src_schema_evolution",
+    # -- staged multimodal + pipeline ---------------------------------------
+    "mm_frame_sample", "mm_dedup_payload", "pipe_output_manifest",
+    # -- staged time-series event-analytics block ---------------------------
+    "ts_anomaly_days", "ts_asof_nearest_tolerance", "ts_ewma",
+    "ts_funnel_stages", "ts_gap_fill", "ts_ohlc_bars", "ts_resample_interp",
+    "ts_retention_cohorts", "ts_transition_matrix", "ts_window_unique_users",
+    # -- staged profiling / sampling / window block -------------------------
+    "q_array_higher_order", "q_equidepth_histogram", "q_mode_per_group",
+    "q_profile_columns", "q_sample_temperature", "q_source_quota_cap",
+    "q_token_histogram", "q_unpivot_measures", "q_window_ntile_bands",
+    "q_window_range_frame",
 ]
 
 

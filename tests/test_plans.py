@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from sqload_spark import registry
 from sqload_spark.sources.generate import generate_table
 from tests.conftest import SF_DIR
@@ -246,9 +248,6 @@ def _broadcast_subtrees(plan: str) -> list[str]:
     return subs
 
 
-import pytest
-
-
 @pytest.mark.parametrize(
     "qname",
     ["dedup_edit_distance", "dedup_minhash_checked", "dedup_cross_source_matrix"],
@@ -320,3 +319,51 @@ def test_q88_rewrite_is_single_scan(spark):
     n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
     assert n_scans == 1, f"multi-band counts re-scan the fact table ({n_scans} scans)"
     assert "Join" not in plan
+
+
+_TPCH_FAMILY = [
+    "q2_min_cost_supplier", "q3_shipping_priority", "q5_region_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_important_stock", "q14_promo_share",
+    "q15_top_supplier", "q16_parts_supplier_count",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_predicates", "q20_excess_supply",
+    "q21_waiting_suppliers", "q22_global_sales", "q_rollup_region_nation",
+]
+
+
+@pytest.mark.parametrize("qname", _TPCH_FAMILY)
+def test_tpch_hints_broadcast_only_constant_size_sides(spark, qname):
+    """VERDICT r5 #2: the same no-forced-broadcast policy the round-5 dedup
+    audit enforced, extended to the TPC-H family. customer/supplier/part
+    (and anything derived from them) scale linearly with sf, so a
+    `F.broadcast` HINT on them is a guaranteed OOM at the 100 TB design
+    point; only constant-size sides may be hinted — nation (25 rows),
+    region (5 rows), and keyless one-row scalar aggregates (Q11's
+    threshold, Q15's max, Q22's average balance).
+
+    Auto-broadcast is disabled while planning so only HINTED broadcasts
+    (forced at any scale) remain; stats/AQE still pick BHJ for the
+    sub-threshold dims at runtime, which is the intended scale behavior."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, registry.QUERIES[qname](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # the tree section names nodes only by id; table paths / grouping keys
+    # live in the "(n) Scan parquet" / "(n) HashAggregate" detail blocks
+    details = {}
+    headers = list(re.finditer(r"^\((\d+)\) \S.*$", plan, re.M))
+    for h, nxt in zip(headers, headers[1:] + [None]):
+        details[h.group(1)] = plan[h.start() : nxt.start() if nxt else len(plan)]
+    for sub in _broadcast_subtrees(plan):
+        scans = [details[i] for i in re.findall(r"Scan parquet\s+\((\d+)\)", sub)]
+        aggs = [details[i] for i in re.findall(r"HashAggregate \((\d+)\)", sub)]
+        constant_scans = scans and all(
+            ("nation.parquet" in s) or ("region.parquet" in s) for s in scans
+        )
+        scalar_agg = any("Keys: []" in a for a in aggs)
+        assert constant_scans or scalar_agg, (
+            f"{qname}: hinted broadcast of an sf-scaled side:\n" + sub
+        )
