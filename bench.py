@@ -251,9 +251,18 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump({**scalars, "queries": timings}, f, indent=1, sort_keys=False)
         f.write("\n")
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-    line = json.dumps({**scalars, "queries": slowest, "detail": "BENCH_DETAIL.json"})
-    assert len(line) < 1800, f"stdout bench line too long for driver tail: {len(line)}"
+    # The driver keeps only ~2 KB of stdout TAIL, so the line must fit the
+    # budget — but never crash after the timing work is done (ADVICE r5):
+    # degrade by dropping slowest-map entries until it fits; the full map
+    # is always in BENCH_DETAIL.json.
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    while True:
+        line = json.dumps(
+            {**scalars, "queries": dict(slowest), "detail": "BENCH_DETAIL.json"}
+        )
+        if len(line) < 1800 or not slowest:
+            break
+        slowest = slowest[:-1]
     print(line)
 
 

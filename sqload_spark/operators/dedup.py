@@ -470,12 +470,20 @@ def pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the mine runs exactly once regardless of consumer count;
     the artifact is pair-bounded (near-dup pairs, not the corpus), so at
     100 TB this converts ≥6 corpus-scale mining passes into one pass plus
-    cheap pair-table scans."""
+    cheap pair-table scans.
+
+    The artifact directory is keyed by a hash of the FULL sf_dir (two
+    sf_dirs sharing a basename must not share a path) and removed before
+    returning — the three one-row summaries are materialized eagerly so
+    nothing in the returned DataFrame still reads the deleted files
+    (ADVICE r5: the pid+basename key leaked temp dirs across processes)."""
+    import hashlib
     import os
+    import shutil
     import tempfile
 
     docs = load_table(spark, sf_dir, "documents")
-    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sf_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     path = os.path.join(
         tempfile.gettempdir(), f"sqload_dedup_pairs_{os.getpid()}_{sf_tag}"
     )
@@ -506,7 +514,10 @@ def pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum(F.col("doc_a") + F.col("doc_b")).cast("bigint").alias("checksum"),
     ).select(F.lit("pair_graph").alias("consumer"), "n_rows", "checksum")
-    return c_census.union(c_keep).union(c_pairs).orderBy("consumer")
+    out = c_census.union(c_keep).union(c_pairs).orderBy("consumer")
+    rows = out.collect()
+    shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
 
 
 # ---------------------------------------------------------------------------

@@ -393,17 +393,41 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_count_distinct")  # approx → rows-only check by design
+@query(
+    "q_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ sketch — the 100 TB path for distinct counts (no exact-distinct
-    shuffle explosion). Not oracle-checked: the sketch estimate is
-    engine-specific; our pytest suite bounds its relative error instead."""
+    shuffle explosion) — as a CHECKED twin (VERDICT r5 #4, the
+    sketch_cms_checked recipe): the raw estimate is engine-specific so it
+    can't be hash-compared directly; instead the result carries the exact
+    count plus `within_bound` = |estimate − exact| ≤ 5×rsd×exact, and the
+    oracle asserts the bound holds by construction (TRUE). rsd=0.02 →
+    bound 10%; measured worst group error is 3.3% at sf0.1, so the boolean
+    is deterministic, and any sketch regression past 5σ flips it to a hash
+    mismatch. Error-curve law remains in pytest."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
             F.countDistinct("l_orderkey").alias("exact_orders"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                <= 0.10 * F.col("exact_orders")
+            ).alias("within_bound"),
         )
         .orderBy("l_returnflag")
     )

@@ -75,17 +75,44 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_approx_percentile")
+@query(
+    "q_approx_percentile",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_round_half_up("quantile_cont(l_extendedprice, 0.5)", 4)}
+             AS exact_median,
+           TRUE AS within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile sketch (KLL-style) next to the exact value — the
-    100 TB path for quantiles (single pass, mergeable, no global sort).
-    Rows-only: estimates are engine-specific; error bounded in tests."""
+    """approx_percentile sketch (GK-style) next to the exact value — the
+    100 TB path for quantiles (single pass, mergeable, no global sort) —
+    as a CHECKED twin (VERDICT r5 #4): the estimate is engine-specific so
+    the result carries the exact median plus `within_bound` = estimate
+    lies between the exact 0.47 and 0.53 quantiles; accuracy=1000
+    guarantees rank error ≤ 0.001, a 30× margin, so the boolean is
+    deterministic and a sketch regression flips it to a hash mismatch.
+    The oracle asserts the bound by construction (TRUE); the error-curve
+    law remains in pytest."""
     li = load_table(spark, sf_dir, "lineitem")
+    q = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.47), F.lit(0.5), F.lit(0.53))
+    )
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.approx_percentile("l_extendedprice", 0.5, 1000).alias("approx_median"),
-            F.percentile("l_extendedprice", 0.5).alias("exact_median"),
+            q.alias("q"),
+        )
+        .select(
+            "l_returnflag",
+            round_half_up(F.col("q")[1], 4).alias("exact_median"),
+            F.col("approx_median").between(F.col("q")[0], F.col("q")[2]).alias(
+                "within_bound"
+            ),
         )
         .orderBy("l_returnflag")
     )

@@ -11,6 +11,7 @@ rather than the 200 default.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
@@ -45,6 +46,7 @@ def get_spark(app_name: str = "sqload_spark", shuffle_partitions: int | None = N
 
 
 _PERSISTED: dict[str, object] = {}
+_PERSISTED_LOCK = threading.Lock()
 
 
 def persist_bounded(key: str, df):
@@ -58,14 +60,22 @@ def persist_bounded(key: str, df):
     copy per site regardless of how often the query re-runs. (Unpersisting
     inside the query itself is not an option: the caller materializes the
     returned DataFrame after we return, which is when the cache pays off.)
+
+    The registry swap is lock-guarded (ADVICE r5): Spark drivers commonly
+    submit jobs from several threads, and an unguarded pop/insert could
+    race on the dict. The unpersist of the PREVIOUS epoch is still
+    eager-by-design — a caller that re-invokes the same query while a
+    prior invocation's result is mid-materialization loses that cache (a
+    recompute, never a wrong answer: unpersist only drops cached blocks).
     """
-    prev = _PERSISTED.pop(key, None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:  # session gone / already unpersisted — harmless
-            pass
-    _PERSISTED[key] = df.persist()
+    with _PERSISTED_LOCK:
+        prev = _PERSISTED.pop(key, None)
+        if prev is not None:
+            try:
+                prev.unpersist()
+            except Exception:  # session gone / already unpersisted — harmless
+                pass
+        _PERSISTED[key] = df.persist()
     return df
 
 

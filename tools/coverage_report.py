@@ -5,6 +5,11 @@ staleness report the round judges track. Usage:
     python tools/coverage_report.py            # summary
     python tools/coverage_report.py --list     # per-query lines
     python tools/coverage_report.py --window   # what the current window converts
+    python tools/coverage_report.py --sample N [seed]
+        # judge-sample protocol (VERDICT r5 #7): run N random
+        # never-driver-checked oracled queries through the drive_entry
+        # comparator (check_queries.py subprocess) and print MATCH /
+        # MISMATCH — standing independent evidence between driver rounds.
 """
 
 from __future__ import annotations
@@ -12,6 +17,8 @@ from __future__ import annotations
 import glob
 import json
 import os
+import random
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -63,6 +70,22 @@ def main() -> None:
             status = "NEW" if n not in latest else f"refresh (last r{latest[n][0]})"
             oracle = "oracle" if n in os_ else "ROWS-ONLY"
             print(f"  {n:40s} {status:22s} {oracle}")
+    if "--sample" in sys.argv:
+        i = sys.argv.index("--sample")
+        n_sample = int(sys.argv[i + 1])
+        seed = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else None
+        pool = sorted(n for n in qs if n not in latest and n in os_)
+        if not pool:
+            print("\n--sample: no never-checked oracled queries remain")
+            return
+        picked = random.Random(seed).sample(pool, min(n_sample, len(pool)))
+        print(f"\n--sample: {len(picked)} of {len(pool)} never-checked "
+              f"oracled queries (seed={seed}):\n  " + "\n  ".join(picked))
+        rc = subprocess.call(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "check_queries.py"), *picked]
+        )
+        sys.exit(rc)
 
 
 if __name__ == "__main__":
