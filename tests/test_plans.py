@@ -367,3 +367,20 @@ def test_tpch_hints_broadcast_only_constant_size_sides(spark, qname):
         assert constant_scans or scalar_agg, (
             f"{qname}: hinted broadcast of an sf-scaled side:\n" + sub
         )
+
+
+def test_dehinted_q3_still_broadcasts_at_runtime_via_aqe(spark):
+    """The de-hint policy's load-bearing claim: removing `F.broadcast` from
+    sf-scaled dims does NOT lose the broadcast join at scales where the
+    side fits — statistics/AQE still pick BHJ at RUNTIME (and, unlike the
+    hint, stop picking it when the table outgrows the threshold). Executes
+    q3 and asserts the ADAPTIVE final plan broadcasts the filtered
+    customer side."""
+    df = registry.QUERIES["q3_shipping_priority"](spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in executed, "AQE did not finalize the plan"
+    assert re.search(r"BroadcastHashJoin \[o_custkey#\d+L?\], \[c_custkey", executed), (
+        "customer join lost its runtime broadcast after de-hinting:\n"
+        + executed[:2000]
+    )
