@@ -732,8 +732,11 @@ def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is two joins on the oriented edge list, never on the corpus."""
     # persist: the edge list feeds three join branches — without it the
     # whole kNN mining subplan re-executes per branch (measured 94
-    # exchanges in the naive plan). The k·n-row edge table also broadcasts
-    # for the wedge/closure joins, so the triangle stage adds no shuffle.
+    # exchanges in the naive plan). The wedge/closure joins are plain
+    # equi-joins on the k·n edge list with NO broadcast hint (same policy
+    # as the TPC-H dims: k·n grows linearly with the corpus, so a forced
+    # broadcast is a scale OOM) — stats/AQE broadcast the tiny edge table
+    # at test SF and fall back to a shuffle join on the wedge key at scale.
     edges = persist_bounded(
         "sim_knn_triangles.edges",
         knn_graph(spark, sf_dir).select(
@@ -744,9 +747,9 @@ def knn_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
     tri = (
-        e1.join(F.broadcast(e2), F.col("e2.va") == F.col("e1.vb"))
+        e1.join(e2, F.col("e2.va") == F.col("e1.vb"))
         .join(
-            F.broadcast(e3),
+            e3,
             (F.col("e3.va") == F.col("e1.va")) & (F.col("e3.vb") == F.col("e2.vb")),
             "left_semi",
         )

@@ -53,6 +53,9 @@ def build_corpus(spark: SparkSession, k: int) -> str:
     """Write a k× documents corpus; returns its sf_dir. Cached across runs."""
     out = f"{WORK_DIR}/x{k}"
     if os.path.exists(f"{out}/documents.parquet"):
+        # older cached dirs predate the events / TPC-H tables
+        build_events(spark, k, out)
+        build_tpch(spark, k, out)
         return out
     docs = spark.read.parquet(f"{BASE_SF_DIR}/documents.parquet")
     reps = spark.range(k).withColumnRenamed("id", "rep")
@@ -90,7 +93,66 @@ def build_corpus(spark: SparkSession, k: int) -> str:
         .write.mode("overwrite")
         .parquet(f"{out}/embeddings.parquet")
     )
+    build_events(spark, k, out)
+    build_tpch(spark, k, out)
     return out
+
+
+def build_tpch(spark: SparkSession, k: int, out: str) -> None:
+    """k× TPC-H corpus: replicate the sf-scaled tables (lineitem, orders,
+    customer, supplier, part) with per-replica key offsets so every join
+    relationship holds within a replica and never across replicas —
+    per-group masses scale exactly k× while the constant tables
+    (nation, region) are copied untouched, exactly the 100 TB shape the
+    dimension de-hint targets: facts AND dims grow k×, nation/region
+    don't. Key offsets use disjoint spaces sized to each key domain."""
+    if os.path.exists(f"{out}/lineitem.parquet"):
+        return
+    reps = spark.range(k).withColumnRenamed("id", "rep")
+    offsets = {  # column -> per-replica stride (≫ base key domain at sf0.1)
+        "o_orderkey": 100_000_000, "l_orderkey": 100_000_000,
+        "c_custkey": 10_000_000, "o_custkey": 10_000_000,
+        "s_suppkey": 1_000_000, "l_suppkey": 1_000_000,
+        "ps_suppkey": 1_000_000, "p_partkey": 10_000_000,
+        "l_partkey": 10_000_000, "ps_partkey": 10_000_000,
+    }
+    for t in ("lineitem", "orders", "customer", "supplier", "part"):
+        df = spark.read.parquet(f"{BASE_SF_DIR}/{t}.parquet").crossJoin(reps)
+        for col, stride in offsets.items():
+            if col in df.columns:
+                df = df.withColumn(col, F.col(col) + F.col("rep") * stride)
+        df.drop("rep").repartition(32).write.mode("overwrite").parquet(
+            f"{out}/{t}.parquet"
+        )
+    for t in ("nation", "region"):
+        spark.read.parquet(f"{BASE_SF_DIR}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{t}.parquet")
+
+
+def build_events(spark: SparkSession, k: int, out: str) -> None:
+    """k× events corpus: replicate USERS (user_id/event_id offset per
+    replica, timestamps untouched), so every replica's per-user event
+    sequences are EXACTLY the base corpus's. Per-user analytics
+    (sessionize, as-of, EWMA, funnels) therefore produce exactly k× the
+    base rows with identical per-replica values, while time-bucketed
+    global aggregations keep the base row count with k× the per-window
+    mass — both invariants checkable from the printed rows column. The
+    raw parquet is read/written as-is (long-nanos or micros ts layouts
+    both round-trip through load_table's schema probe)."""
+    if os.path.exists(f"{out}/events.parquet"):
+        return
+    ev = spark.read.parquet(f"{BASE_SF_DIR}/events.parquet")
+    reps = spark.range(k).withColumnRenamed("id", "rep")
+    (
+        ev.crossJoin(reps)
+        .withColumn("user_id", F.col("user_id") + F.col("rep") * ID_SPACE)
+        .withColumn("event_id", F.col("event_id") + F.col("rep") * ID_SPACE)
+        .drop("rep")
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{out}/events.parquet")
+    )
 
 
 def timed(name: str, fn, spark: SparkSession, sf_dir: str) -> tuple[float, int]:
