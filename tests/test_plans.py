@@ -211,13 +211,26 @@ def test_gram_partials_shuffle_only_cells(spark):
     assert plan.count("HashAggregate") >= 2, "map-side partial merge missing"
 
 
-def test_triangles_edge_list_is_cached_and_broadcast(spark):
-    """Triangle counting must compute the kNN edge list ONCE (persist) and
-    broadcast it for the wedge/closure joins — the naive plan re-mines the
-    graph per join branch."""
+def test_triangles_edge_list_is_cached_not_hint_broadcast(spark):
+    """Triangle counting must compute the kNN edge list ONCE (persist) —
+    the naive plan re-mines the graph per join branch. The wedge/closure
+    joins must NOT hint-broadcast the k·n edge list (round-6 policy: k·n
+    grows linearly with the corpus); they are plain equi-joins, so with
+    hints absent and auto-broadcast disabled they plan as shuffle joins —
+    stats/AQE still broadcast the tiny edge table at test SF at runtime."""
     plan = plan_of(spark, registry.QUERIES["sim_knn_triangles"](spark, SF_DIR))
     assert "InMemoryTableScan" in plan, "edge list not cached across branches"
-    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = plan_of(spark, registry.QUERIES["sim_knn_triangles"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    for sub in _broadcast_subtrees(hinted):
+        assert "InMemoryTableScan" not in sub, (
+            "edge list is hint-broadcast (forced at any scale):\n" + sub
+        )
 
 
 def test_scd2_single_user_shuffle_chain(spark):
@@ -383,4 +396,42 @@ def test_dehinted_q3_still_broadcasts_at_runtime_via_aqe(spark):
     assert re.search(r"BroadcastHashJoin \[o_custkey#\d+L?\], \[c_custkey", executed), (
         "customer join lost its runtime broadcast after de-hinting:\n"
         + executed[:2000]
+    )
+
+
+@pytest.mark.parametrize("qname,n_windows", [("ts_asof_join", 1), ("ts_sessionize", 2)])
+def test_ts_family_shuffles_once_per_user_partitioning(spark, qname, n_windows):
+    """The event-analytics family's scale property (measured flat/1.5× at
+    30× events, BASELINE.md round-6): per-user windows ride ONE user-keyed
+    shuffle — sessionize's two window specs must REUSE the same Exchange —
+    plus at most the presentation sort. A third Exchange means a window
+    spec stopped sharing partitioning and the flat curve is gone."""
+    plan = plan_of(spark, registry.QUERIES[qname](spark, SF_DIR))
+    assert plan.count("Window") >= n_windows
+    n_exchanges = len(re.findall(r"\+- Exchange", plan))
+    assert n_exchanges <= 2, f"{qname}: {n_exchanges} shuffles (want data + presentation)"
+
+
+@pytest.mark.parametrize("qname", ["text_pii_scrub", "text_gopher_quality"])
+def test_text_census_is_mapside_plus_partial_agg(spark, qname):
+    """The map-side text censuses (measured flat at 30× docs): scrub/rule
+    evaluation happens in the scan projection, aggregation is
+    partial+final, and nothing joins — two Exchanges total (agg +
+    presentation sort)."""
+    plan = plan_of(spark, registry.QUERIES[qname](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2, "partial+final aggregation missing"
+    assert "Join" not in plan
+    n_exchanges = len(re.findall(r"\+- Exchange", plan))
+    assert n_exchanges <= 2, f"{qname}: {n_exchanges} shuffles"
+
+
+def test_ts_asof_pushes_event_type_filter(spark):
+    """The as-of join's two event streams come from ONE scan with the
+    event-type disjunction pushed to parquet."""
+    plan = plan_of(spark, registry.QUERIES["ts_asof_join"](spark, SF_DIR))
+    assert re.search(r"PushedFilters:.*In\(event_type", plan), (
+        "event-type filter not pushed to the events scan"
+    )
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, (
+        "as-of join re-scans events"
     )
