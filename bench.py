@@ -150,6 +150,15 @@ HEADLINE = [
     # read the parquet back — compare against dedup_cluster_sizes +
     # dedup_keep_list re-mining independently)
     "dedup_pairs_materialized",
+    # round-6: the last window entries the suite didn't already time, so
+    # BENCH_r06 carries a number for every query the driver checks
+    "stream_static_enrich",
+    "stream_sliding_counts",
+    "ts_gap_fill",
+    "q_mode_per_group",
+    "q_source_quota_cap",
+    "q_token_histogram",
+    "q_window_range_frame",
 ]
 
 GEN_BENCH_SPEC = "key,bigint,int(11),varchar(50),double,date,bigint(20)"  # README.md:42
