@@ -13,9 +13,12 @@ rules, partition-local state) MISMATCHES here even though drive_entry.py is
 green.
 
 Usage:
-    python tools/invariance_run.py [master] [shuffle_partitions] [aqe]
-    # defaults: local[3] 7 true     (odd cores, prime shuffle count)
+    python tools/invariance_run.py [master] [shuffle_partitions] [aqe] [sf_dir]
+    # defaults: local[3] 7 true /root/testdata/sf0.01
     # example:  python tools/invariance_run.py local[5] 13 false
+    # example:  python tools/invariance_run.py local[8] 200 true /root/testdata/sf0.001
+    #           (scale-robustness: same oracles at a 10x-smaller corpus —
+    #           catches constants accidentally tuned to the sf0.01 fixture)
 
 Exit 0 = every oracled query matches under this geometry.
 """
@@ -29,6 +32,7 @@ import duckdb  # noqa: E402
 MASTER = sys.argv[1] if len(sys.argv) > 1 else "local[3]"
 SHUFFLE = sys.argv[2] if len(sys.argv) > 2 else "7"
 AQE = sys.argv[3] if len(sys.argv) > 3 else "true"
+SF_DIR = sys.argv[4] if len(sys.argv) > 4 else "/root/testdata/sf0.01"
 
 spark = (
     SparkSession.builder.master(MASTER)
@@ -44,7 +48,7 @@ import __spark_entry__ as e  # noqa: E402
 
 df = e.entry(spark)
 rows = df.collect()
-print(f"config: master={MASTER} shuffle={SHUFFLE} aqe={AQE}")
+print(f"config: master={MASTER} shuffle={SHUFFLE} aqe={AQE} sf={SF_DIR}")
 print("ENTRY rows:", len(rows))
 assert len(rows) > 0
 
@@ -55,8 +59,7 @@ for t in [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]:
     con.execute(
-        f"CREATE VIEW {t} AS SELECT * FROM "
-        f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
     )
 
 sys.path.insert(0, "/root/repo/tests")
@@ -69,7 +72,7 @@ for name, fn in sorted(qs.items()):
         skipped += 1
         continue
     t0 = time.time()
-    sp = fn(spark, "/root/testdata/sf0.01").toPandas()
+    sp = fn(spark, SF_DIR).toPandas()
     du = con.execute(os_[name]).fetchdf()
     match = len(sp) == len(du) and canon_rows(sp) == canon_rows(du)
     if not match:
@@ -77,7 +80,7 @@ for name, fn in sorted(qs.items()):
     ok += match
     bad += not match
 print(
-    f"RESULT[{MASTER} sp={SHUFFLE} aqe={AQE}]: {ok} match, {bad} mismatch, "
+    f"RESULT[{MASTER} sp={SHUFFLE} aqe={AQE} {SF_DIR}]: {ok} match, {bad} mismatch, "
     f"{skipped} rows-only skipped, {time.time()-t_all:.0f}s"
 )
 sys.exit(1 if bad else 0)
