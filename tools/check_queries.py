@@ -47,8 +47,8 @@ if missing:
     sys.exit(2)
 
 con = duckdb.connect()
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
+from sqload_spark.sources.tables import TABLE_NAMES
+for t in TABLE_NAMES:
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')"
     )

@@ -72,8 +72,22 @@ def main() -> None:
             print(f"  {n:40s} {status:22s} {oracle}")
     if "--sample" in sys.argv:
         i = sys.argv.index("--sample")
-        n_sample = int(sys.argv[i + 1])
-        seed = int(sys.argv[i + 2]) if len(sys.argv) > i + 2 else None
+        # robust parse: N required, seed optional; a following flag or a
+        # missing operand is a usage error, not a traceback — and the seed
+        # DEFAULTS to 0 so the printed sample is reproducible evidence
+        # (a time-seeded pick would be unverifiable after the fact)
+        try:
+            n_sample = int(sys.argv[i + 1])
+        except (IndexError, ValueError):
+            print("usage: coverage_report.py --sample N [seed]")
+            sys.exit(2)
+        seed = 0
+        if len(sys.argv) > i + 2 and not sys.argv[i + 2].startswith("--"):
+            try:
+                seed = int(sys.argv[i + 2])
+            except ValueError:
+                print("usage: coverage_report.py --sample N [seed]")
+                sys.exit(2)
         pool = sorted(n for n in qs if n not in latest and n in os_)
         if not pool:
             print("\n--sample: no never-checked oracled queries remain")

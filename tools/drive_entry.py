@@ -18,7 +18,8 @@ assert len(rows) > 0
 qs, os_ = e.queries(), e.oracle_sql()
 print("queries:", len(qs), "oracles:", len(os_))
 con = duckdb.connect()
-for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+from sqload_spark.sources.tables import TABLE_NAMES
+for t in TABLE_NAMES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('/root/testdata/sf0.01/{t}.parquet')")
 
 sys.path.insert(0, "/root/repo/tests")

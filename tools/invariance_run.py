@@ -54,10 +54,9 @@ assert len(rows) > 0
 
 qs, os_ = e.queries(), e.oracle_sql()
 con = duckdb.connect()
-for t in [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]:
+from sqload_spark.sources.tables import TABLE_NAMES  # noqa: E402
+
+for t in TABLE_NAMES:
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
     )

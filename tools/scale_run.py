@@ -52,7 +52,10 @@ ID_SPACE = 10_000_000  # per-replica doc_id offset
 def build_corpus(spark: SparkSession, k: int) -> str:
     """Write a k× documents corpus; returns its sf_dir. Cached across runs."""
     out = f"{WORK_DIR}/x{k}"
-    if os.path.exists(f"{out}/documents.parquet"):
+    # sentinel = the LAST table this block writes (embeddings), not the
+    # first: a run killed between the documents and embeddings writes must
+    # not leave a cache dir that passes the completeness check forever
+    if os.path.exists(f"{out}/embeddings.parquet"):
         # older cached dirs predate the events / TPC-H tables
         build_events(spark, k, out)
         build_tpch(spark, k, out)
@@ -106,7 +109,7 @@ def build_tpch(spark: SparkSession, k: int, out: str) -> None:
     (nation, region) are copied untouched, exactly the 100 TB shape the
     dimension de-hint targets: facts AND dims grow k×, nation/region
     don't. Key offsets use disjoint spaces sized to each key domain."""
-    if os.path.exists(f"{out}/lineitem.parquet"):
+    if os.path.exists(f"{out}/region.parquet"):  # last-written = complete
         return
     reps = spark.range(k).withColumnRenamed("id", "rep")
     offsets = {  # column -> per-replica stride (≫ base key domain at sf0.1)
