@@ -472,11 +472,19 @@ def pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this converts ≥6 corpus-scale mining passes into one pass plus
     cheap pair-table scans.
 
-    The artifact directory is keyed by a hash of the FULL sf_dir (two
-    sf_dirs sharing a basename must not share a path) and removed before
-    returning — the three one-row summaries are materialized eagerly so
-    nothing in the returned DataFrame still reads the deleted files
-    (ADVICE r5: the pid+basename key leaked temp dirs across processes)."""
+    The artifact directory is keyed by pid + a hash of the FULL sf_dir
+    (two sf_dirs sharing a basename must not share a path — ADVICE r5) and
+    cleaned up by a once-per-path atexit hook rather than eagerly: the r6
+    self-review found the eager collect+rmtree variant replaced the
+    query's physical plan with a LocalTableScan of pre-collected rows,
+    making the mine-once/consume-many shape invisible to PLANS.md and
+    plan tests. Returning the LAZY consumer plan keeps it inspectable;
+    re-invocations overwrite the same path in place (the mine is
+    deterministic, so a previously returned DataFrame re-materialized
+    after an overwrite reads identical content). A SIGKILLed process
+    still leaks its directory — the unavoidable residue of any on-disk
+    artifact without an external janitor."""
+    import atexit
     import hashlib
     import os
     import shutil
@@ -514,10 +522,15 @@ def pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum(F.col("doc_a") + F.col("doc_b")).cast("bigint").alias("checksum"),
     ).select(F.lit("pair_graph").alias("consumer"), "n_rows", "checksum")
-    out = c_census.union(c_keep).union(c_pairs).orderBy("consumer")
-    rows = out.collect()
-    shutil.rmtree(path, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    if path not in _PAIR_ARTIFACT_PATHS:
+        _PAIR_ARTIFACT_PATHS.add(path)
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return c_census.union(c_keep).union(c_pairs).orderBy("consumer")
+
+
+# Artifact dirs with an atexit cleanup already registered (one hook per
+# path, however many times the query re-runs in a session).
+_PAIR_ARTIFACT_PATHS: set[str] = set()
 
 
 # ---------------------------------------------------------------------------

@@ -10,7 +10,9 @@ inference is a second scan at scale and non-deterministic under dirty data.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -21,8 +23,11 @@ from sqload_spark.registry import query
 from sqload_spark.sources.sinks import write_partitioned_parquet
 from sqload_spark.sources.tables import load_table
 
-# process-unique so concurrent driver/test processes never collide on paths
+# process-unique so concurrent driver/test processes never collide on paths;
+# cleaned at process exit (same policy as session.scratch_dir — re-invocations
+# overwrite in place during the session, the residue goes when the process does)
 _SCRATCH = os.path.join(tempfile.gettempdir(), f"sqload_etl_{os.getpid()}")
+atexit.register(shutil.rmtree, _SCRATCH, ignore_errors=True)
 
 ORDERS_SCHEMA = (
     "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "

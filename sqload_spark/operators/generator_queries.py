@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from sqload_spark.registry import query
 from sqload_spark.sources.generate import generate_table
+from sqload_spark.session import scratch_dir
 
 GEN_ROWS = 10_000
 
@@ -78,7 +79,6 @@ def gen_stream_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxRows under a periodic trigger; any prefix is bit-identical to the
     batch table (law-tested in tests/test_datasource.py), so this is the
     load-generator front end of a streaming ingest benchmark."""
-    import tempfile
     import time as _time
     import uuid as _uuid
 
@@ -99,7 +99,7 @@ def gen_stream_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sqload_gen_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="sqload_gen_ckpt_"))
         .trigger(processingTime="200 milliseconds")
         .start()
     )

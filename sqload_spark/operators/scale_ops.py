@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
 from sqload_spark.registry import query
 from sqload_spark.sources.tables import load_table
+from sqload_spark.session import scratch_dir
 
 N_BUCKETS = 8
 
@@ -40,7 +41,6 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     Broadcast is hinted OFF for the join so the bucketing, not the
     small-SF optimizer shortcut, carries the plan; the price sum rounds
     2dp after aggregating (the repo-standard cross-engine float rule)."""
-    import tempfile
 
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_totalprice"
@@ -48,7 +48,7 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    base = tempfile.mkdtemp(prefix="sqload_bucketed_")
+    base = scratch_dir(prefix="sqload_bucketed_")
     for name, df, key in (
         ("orders_b", orders, "o_custkey"),
         ("customer_b", customer, "c_custkey"),

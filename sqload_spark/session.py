@@ -10,10 +10,28 @@ rather than the 200 default.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 import threading
 
 from pyspark.sql import SparkSession
+
+
+def scratch_dir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` plus a process-exit cleanup hook.
+
+    Streaming replays and artifact writers need fresh on-disk scratch
+    (checkpoint locations, micro-batch input dirs, write-once artifacts)
+    per invocation; a bare mkdtemp leaks every one of them across a long
+    bench/driver session (ADVICE r5 flagged the pattern on the pair
+    artifact). Registering an rmtree at exit bounds the residue to the
+    lifetime of the process — a SIGKILL still leaks, which no in-process
+    scheme can prevent."""
+    path = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 def default_parallelism() -> int:

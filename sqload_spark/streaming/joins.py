@@ -28,6 +28,7 @@ from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
 from sqload_spark.registry import query
 from sqload_spark.sources.tables import load_table
 from sqload_spark.streaming.windows import run_to_memory, stream_events
+from sqload_spark.session import scratch_dir
 
 # Split users into activity segments on total batch event count. The
 # threshold sits near the per-user mean so both segments are populated at
@@ -206,7 +207,6 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     result is watermark-timing-independent because eviction is monotone
     in the watermark.
     """
-    import tempfile
 
     from sqload_spark.sources.tables import load_table
 
@@ -219,7 +219,7 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = ev.agg(
         F.expr("percentile_approx(ts_us, 0.5, 10000)").alias("m")
     ).first()[0]
-    in_dir = tempfile.mkdtemp(prefix="sqload_lo_in_")
+    in_dir = scratch_dir(prefix="sqload_lo_in_")
     ev.filter(F.col("ts_us") <= split).coalesce(1).write.mode("append").parquet(in_dir)
     ev.filter(F.col("ts_us") > split).coalesce(1).write.mode("append").parquet(in_dir)
 

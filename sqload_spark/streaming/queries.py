@@ -18,6 +18,7 @@ from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
 from sqload_spark.operators.timeseries import FIVE_MIN_US, SESSION_GAP_US, TEN_MIN_US
 from sqload_spark.registry import query
 from sqload_spark.streaming.windows import run_to_memory, stream_events
+from sqload_spark.session import scratch_dir
 
 
 @query(
@@ -167,7 +168,6 @@ _MB_BUCKET_SQL = (
     """,
 )
 def stream_microbatch_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
     import time as _time
 
     from sqload_spark.sources.tables import load_table
@@ -183,8 +183,8 @@ def stream_microbatch_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", bucket.alias("bucket")
     )
-    in_dir = tempfile.mkdtemp(prefix="sqload_mb_in_")
-    acc_dir = tempfile.mkdtemp(prefix="sqload_mb_") + "/acc"
+    in_dir = scratch_dir(prefix="sqload_mb_in_")
+    acc_dir = scratch_dir(prefix="sqload_mb_") + "/acc"
     for b in range(MB_N_BUCKETS):
         ev.filter(F.col("bucket") == b).coalesce(1).write.mode("append").parquet(in_dir)
 
@@ -204,7 +204,7 @@ def stream_microbatch_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         stream.writeStream.foreachBatch(per_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sqload_mb_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="sqload_mb_ckpt_"))
         .trigger(processingTime="200 milliseconds")
         .start()
     )
@@ -294,7 +294,6 @@ def stream_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself hash-checked, not just row-counted. Alternating snapshot
     directories stand in for the table format's atomic commit; all merge
     work is distributed joins, nothing driver-side."""
-    import tempfile
 
     from sqload_spark.sources.tables import load_table
 
@@ -314,8 +313,8 @@ def stream_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ts_ns div 1000").alias("ts_us"),
         bucket.alias("bucket"),
     )
-    in_dir = tempfile.mkdtemp(prefix="sqload_up_in_")
-    snap_root = tempfile.mkdtemp(prefix="sqload_up_snap_")
+    in_dir = scratch_dir(prefix="sqload_up_in_")
+    snap_root = scratch_dir(prefix="sqload_up_snap_")
     for b in range(n_buckets):
         ev.filter(F.col("bucket") == b).coalesce(1).write.mode("append").parquet(in_dir)
 
@@ -352,7 +351,7 @@ def stream_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         stream.writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sqload_up_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="sqload_up_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -416,7 +415,6 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     all files into one batch and nothing is ever late); file order is
     fixed by modification time."""
     import time as _time
-    import tempfile
     import uuid as _uuid
 
     from sqload_spark.sources.tables import load_table
@@ -436,7 +434,7 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.expr("ts_ns div 1000")).alias("ts"),
         bucket.alias("bk"),
     )
-    in_dir = tempfile.mkdtemp(prefix="sqload_late_in_")
+    in_dir = scratch_dir(prefix="sqload_late_in_")
     for cond in (F.col("bk") >= 2, F.col("bk") == 1, F.col("bk") == 0):
         ev.filter(cond).coalesce(1).write.mode("append").parquet(in_dir)
         _time.sleep(1.1)  # distinct mtimes -> deterministic file-source order
@@ -456,7 +454,7 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sqload_late_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="sqload_late_ckpt_"))
         .trigger(processingTime="200 milliseconds")
         .start()
     )

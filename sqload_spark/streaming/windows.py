@@ -11,14 +11,13 @@ continuously; nothing in the transformations changes.
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from sqload_spark.session import configure
+from sqload_spark.session import configure, scratch_dir
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
@@ -68,7 +67,7 @@ def run_to_memory(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sqload_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="sqload_ckpt_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -95,7 +94,7 @@ def run_micro_batches(
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sqload_ckpt_"))
+        .option("checkpointLocation", scratch_dir(prefix="sqload_ckpt_"))
         .trigger(processingTime=interval)
         .start()
     )

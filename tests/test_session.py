@@ -31,3 +31,49 @@ def test_persist_bounded_rotates_epochs(spark):
     # cleanup so later tests see no pinned blocks
     for key in ("test.rotate", "test.other"):
         _PERSISTED.pop(key).unpersist()
+
+
+def test_scratch_dir_registers_exit_cleanup(tmp_path, monkeypatch):
+    """scratch_dir = mkdtemp + atexit rmtree: the no-temp-residue policy
+    (ADVICE r5 flagged the bare-mkdtemp leak on the pair artifact; round 6
+    routed every scratch consumer through this helper)."""
+    import atexit
+    import shutil
+
+    from sqload_spark.session import scratch_dir
+
+    registered = []
+    monkeypatch.setattr(atexit, "register", lambda fn, *a, **k: registered.append((fn, a)))
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None  # force TMPDIR re-probe
+    try:
+        p = scratch_dir("sqload_test_")
+        assert p.startswith(str(tmp_path))
+        assert registered and registered[0][0] is shutil.rmtree
+        assert registered[0][1][0] == p
+    finally:
+        tempfile.tempdir = None
+
+
+def test_no_bare_mkdtemp_in_package():
+    """Policy lock: every scratch directory in sqload_spark goes through
+    session.scratch_dir (which guarantees process-exit cleanup). A bare
+    tempfile.mkdtemp anywhere in the package is residue waiting to
+    accumulate across a long bench/driver session."""
+    import pathlib
+
+    import sqload_spark
+
+    root = pathlib.Path(sqload_spark.__file__).parent
+    offenders = []
+    for py in root.rglob("*.py"):
+        src = py.read_text()
+        if py.name == "session.py":
+            # the one sanctioned call site, inside scratch_dir itself
+            assert src.count("tempfile.mkdtemp(") == 1
+            continue
+        if "tempfile.mkdtemp(" in src:
+            offenders.append(str(py))
+    assert not offenders, f"bare mkdtemp outside session.scratch_dir: {offenders}"
