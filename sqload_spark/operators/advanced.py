@@ -103,13 +103,36 @@ def count_min_table(df: DataFrame, key: str) -> DataFrame:
     return rows.groupBy("d", "w").agg(F.count("*").alias("c"))
 
 
-@query("sketch_count_min")
+@query(
+    "sketch_count_min",
+    oracle="""
+    WITH probes AS (SELECT range AS probe_key FROM range(1, 11)),
+         exact AS (
+           SELECT l_suppkey AS probe_key, CAST(count(*) AS BIGINT) AS exact_count
+           FROM lineitem WHERE l_suppkey BETWEEN 1 AND 10 GROUP BY l_suppkey
+         )
+    SELECT p.probe_key,
+           CAST(COALESCE(e.exact_count, 0) AS BIGINT) AS exact_count,
+           TRUE AS never_underestimates,
+           TRUE AS within_eps
+    FROM probes p LEFT JOIN exact e USING (probe_key)
+    ORDER BY probe_key
+    """,
+)
 def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min estimates for the supplier keys 1..10 over lineitem, next
-    to exact counts. Rows-only (xxhash64 has no DuckDB twin); the CMS
-    guarantee (exact ≤ estimate ≤ exact + εN) is asserted in tests."""
+    """Count-Min estimates for the supplier keys 1..10 over lineitem, as a
+    CHECKED twin (the q_approx_count_distinct recipe): the raw estimate is
+    xxhash64-placed so it has no DuckDB twin, but the CMS CONTRACT does —
+    `never_underestimates` (exact ≤ estimate, a deterministic property of
+    the structure, not a probabilistic one) and `within_eps`
+    (estimate ≤ exact + (e/width)·N, deterministic on fixed data). The
+    oracle asserts both booleans hold by construction; any sketch
+    regression flips one to a hash mismatch. The raw-estimate law stays in
+    tests/test_sketches.py. The md5-placed fully-hash-checked variant is
+    sketch_cms_checked below."""
     li = load_table(spark, sf_dir, "lineitem")
     cms = count_min_table(li, "l_suppkey")
+    n_total = li.agg(F.count("*").alias("n_total"))
     probes = spark.range(1, 11).select(F.col("id").alias("probe_key"))
     probe_cells = probes.select(
         "probe_key",
@@ -129,11 +152,36 @@ def sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         estimates.join(exact, "probe_key", "left")
         .fillna(0, subset=["exact_count"])
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "probe_key",
+            "exact_count",
+            (F.col("cms_estimate") >= F.col("exact_count")).alias("never_underestimates"),
+            (
+                F.col("cms_estimate") - F.col("exact_count")
+                <= 2.72 / CMS_WIDTH * F.col("n_total")
+            ).alias("within_eps"),
+        )
         .orderBy("probe_key")
     )
 
 
-@query("sketch_hll_merge")
+@query(
+    "sketch_hll_merge",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           CAST(count(DISTINCT
+             (('0x' || substr(md5('hll|' || CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT % 8)
+           ) AS BIGINT) AS n_shards,
+           TRUE AS merge_consistent,
+           TRUE AS merged_within_bound,
+           TRUE AS direct_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
 def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE distinct-count sketches (DataSketches HLL via
     hll_sketch_agg / hll_union_agg): each md5-bucketed shard of lineitem
@@ -141,15 +189,18 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard sketches per return flag. The union of HLL registers is the
     sketch of the union, so merging loses nothing structurally — but the
     ESTIMATOR differs: an un-merged sketch answers with the HIP estimator,
-    a union must fall back to the composite estimator, so
-    `merged_estimate` and `direct_estimate` differ by a fraction of a
-    percent while BOTH sit inside the lgK=12 error bound of the exact
-    count (measured at sf0.01: merged ≤1.7% off, direct ≤1.1%;
-    tests/test_sketches.py asserts the bound). This is the 100 TB
-    distinct-count shape: shards stream in, bytes-sized states merge,
-    history is never rescanned. Rows-only for the driver: DuckDB's
-    approx_count_distinct is a different sketch with a different
-    estimate."""
+    a union must fall back to the composite estimator, so the merged and
+    direct estimates differ by a fraction of a percent while BOTH sit
+    inside the lgK=12 error bound of the exact count (measured at sf0.01:
+    merged ≤1.7% off, direct ≤1.1%; tests/test_sketches.py asserts the
+    raw-estimate bounds). This is the 100 TB distinct-count shape: shards
+    stream in, bytes-sized states merge, history is never rescanned.
+
+    CHECKED twin (the q_approx_count_distinct recipe): the raw estimates
+    are engine-specific so the result carries the exact count, the shard
+    fan-out (md5-placed, so DuckDB recomputes it bit-for-bit), and three
+    deterministic contract booleans — merged≈direct within 3%, each within
+    5% of exact — that the oracle asserts hold by construction."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
     shard = F.pmod(
         F.conv(
@@ -169,11 +220,28 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_shards"),
     )
     direct = li.groupBy("l_returnflag").agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey", F.lit(12))).alias("direct_estimate")
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey", F.lit(12))).alias("direct_estimate"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
     )
     return (
         merged.join(direct, "l_returnflag")
-        .select("l_returnflag", "merged_estimate", "direct_estimate", "n_shards")
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            "n_shards",
+            (
+                F.abs(F.col("merged_estimate") - F.col("direct_estimate"))
+                <= 0.03 * F.col("direct_estimate")
+            ).alias("merge_consistent"),
+            (
+                F.abs(F.col("merged_estimate") - F.col("exact_orders"))
+                <= 0.05 * F.col("exact_orders")
+            ).alias("merged_within_bound"),
+            (
+                F.abs(F.col("direct_estimate") - F.col("exact_orders"))
+                <= 0.05 * F.col("exact_orders")
+            ).alias("direct_within_bound"),
+        )
         .orderBy("l_returnflag")
     )
 

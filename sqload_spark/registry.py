@@ -66,16 +66,18 @@ _loaded = False
 #
 # ROUND-7 WINDOW RECIPE (verify against CORRECTNESS_r06 first):
 #   1. etl_zorder_cluster, q_winsorize (the two oracled stragglers above);
-#   2. q_approx_count_distinct, q_approx_percentile — converted to checked
-#      twins in round 6 (estimate/exact/within_bound columns, the
-#      sketch_cms_checked pattern) and now oracled;
+#   2. q_approx_count_distinct, q_approx_percentile, sketch_count_min,
+#      sketch_hll_merge — all four converted to checked twins in round 6
+#      (exact value + deterministic contract booleans, the
+#      sketch_cms_checked pattern; raw estimates stay law-tested in
+#      tests/test_sketches.py) and now oracled;
 #   3. any name CORRECTNESS_r06 unexpectedly missed or errored;
-#   4. fill the remaining ~45 slots with staleness refreshes, oldest
+#   4. fill the remaining ~43 slots with staleness refreshes, oldest
 #      driver-round first (tools/coverage_report.py --list sorts by round:
 #      the r01/r03 rows first — q1_pricing_summary, q3_shipping_priority,
 #      q5_local_supplier, src_parquet/csv/json/orc roundtrips, the r03
 #      dedup/text/sim core), skipping rows-only-by-design entries
-#      (gen_datasource_table, gen_stream_table, sketch_hll_merge,
+#      (gen_datasource_table, gen_stream_table, dedup_simhash,
 #      LSH/IVF recall paths, mm_decode_features — law-tested instead).
 # Between driver rounds, `tools/coverage_report.py --sample N [seed]` runs
 # N random never-checked oracled queries through the drive_entry comparator
