@@ -2,7 +2,7 @@
 ADVERSARIAL engine config.
 
 The external driver builds a plain ``local[8]`` session; tools/drive_entry.py
-simulates exactly that. This tool re-runs the identical 191-oracle comparison
+simulates exactly that. This tool re-runs the identical full-oracle comparison
 under a deliberately different execution geometry — odd core counts, tiny or
 mismatched ``spark.sql.shuffle.partitions``, AQE disabled — to prove the
 registered queries' RESULTS are independent of partitioning. That is the core
