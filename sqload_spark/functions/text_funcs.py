@@ -31,11 +31,23 @@ def tokens(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles, as an array of strings."""
+    """Distinct word n-gram shingles, as an array of strings.
+
+    Documents with fewer than ``n`` tokens (including empty and NULL text
+    — real corpora contain both) yield an EMPTY shingle set, matching the
+    DuckDB oracles' list-comprehension semantics (`range(1, len(t)-1)` is
+    empty for short lists). The explicit when-guard also keeps every
+    ``element_at`` index in range, which under ANSI mode (Spark 4's
+    default) is the difference between a clean empty result and an
+    INVALID_ARRAY_INDEX crash killing the whole stage on the first dirty
+    shard (found by tools/adversarial_run.py)."""
     toks = tokens(text)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))),
+            idx,
             lambda i: F.concat_ws(
                 " ", *[F.element_at(toks, i + F.lit(k)) for k in range(n)]
             ),
@@ -105,11 +117,16 @@ def rolling_fingerprints(toks: Column, window: int = 4) -> Column:
     earlier xxhash64 variant, which had no DuckDB counterpart. 48 bits keeps
     collisions negligible (~1e-7 at 1M distinct spans) and fits BIGINT in
     both engines."""
+    # try_element_at, not element_at: documents shorter than `window` keep
+    # the oracle's short-doc fallback (one partial span — concat_ws skips
+    # the NULLs past the end, identically in DuckDB), where plain
+    # element_at raises under ANSI mode (Spark 4's default) and kills the
+    # stage on the first short/dirty document (tools/adversarial_run.py).
     span_hashes = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))),
         lambda i: F.conv(
             F.substring(
-                F.md5(F.concat_ws(" ", *[F.element_at(toks, i + F.lit(k)) for k in range(window)])),
+                F.md5(F.concat_ws(" ", *[F.try_element_at(toks, i + F.lit(k)) for k in range(window)])),
                 1,
                 12,
             ),

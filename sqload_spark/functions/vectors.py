@@ -30,3 +30,44 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two double arrays."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+# ---------------------------------------------------------------------------
+# Embedding validity contract.
+#
+# A real 100 TB corpus contains degenerate vectors: all-zero (failed
+# encoder call), NULL (missing row), NaN/inf or absurd magnitudes
+# (serialization bugs). Cosine is UNDEFINED on a zero vector — under ANSI
+# mode (Spark 4's default) the division even raises DIVIDE_BY_ZERO and
+# kills the stage — and the fixed-point receipt paths (Gram matrix,
+# centroid means) are exact only on bounded magnitudes. The engine's
+# contract, applied identically in every embedding query AND its DuckDB
+# oracle (so dirty corpora stay hash-comparable, see
+# tools/adversarial_run.py): an embedding participates only if it is
+# finite, |x| <= EMB_MAX_ABS on every coordinate, and has positive norm.
+# Typical model embeddings are ~unit-norm, so on any sane corpus the
+# filter keeps everything; on a dirty one both engines drop the same rows
+# instead of crashing (Spark) or inventing cosine = -1 sentinels
+# (DuckDB's list_cosine_similarity on a zero vector).
+# ---------------------------------------------------------------------------
+EMB_MAX_ABS = 1e6
+
+
+def valid_embedding(v: Column) -> Column:
+    """Contract predicate over a raw ``array<float>`` column. NULL input
+    yields NULL (row dropped by ``filter``), NaN/inf fail the bound check
+    (comparisons with NaN are false in both engines)."""
+    dv = to_double_array(v)
+    return (dot(dv, dv) > 0) & F.forall(dv, lambda x: F.abs(x) <= F.lit(EMB_MAX_ABS))
+
+
+# Same predicate for DuckDB oracles, over the raw `embedding` column. The
+# leading IS NOT NULL must stay FIRST: DuckDB's list_dot_product raises on
+# a NULL list when it is the first conjunct evaluated over a parquet scan
+# (the AND mask shields it), while Spark's filter simply drops the NULL.
+EMB_VALID_SQL = (
+    "(embedding IS NOT NULL"
+    " AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0"
+    " AND list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max')"
+    " <= 1000000.0)"
+)

@@ -46,9 +46,12 @@ from sqload_spark.functions.rounding import (
     sql_exact_decimal_sum,
     sql_round_half_up,
 )
-from sqload_spark.functions.vectors import to_double_array
+from sqload_spark.functions.vectors import EMB_VALID_SQL, to_double_array
+
+# Contract-filtered embeddings scan for oracles (vectors.EMB_VALID_SQL).
+_EMB = f"(SELECT * FROM embeddings WHERE {EMB_VALID_SQL})"
 from sqload_spark.registry import query
-from sqload_spark.sources.tables import load_table
+from sqload_spark.sources.tables import load_embeddings, load_table
 
 DIM = 64
 
@@ -118,7 +121,7 @@ def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
+    return load_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v"), "label"
     )
 
@@ -127,7 +130,7 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # embedding[dim] is 1-based in DuckDB; cells rounded 6dp to match Spark.
 _ASSIGN_CTES = f"""
     vecs AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+      SELECT vec_id, embedding::DOUBLE[] AS v, label FROM {_EMB} AS embeddings
     ), cent_cell AS (
       SELECT label AS cluster, dim,
              {sql_round_half_up("avg(v[dim])", 6)} AS cval
@@ -291,7 +294,7 @@ GRAM_FP = 1_000_000_000_000  # 1e12 fixed-point
                "CAST(sum(CAST(floor(CAST(embedding[i.i] AS DOUBLE) * "
                "CAST(embedding[j.j] AS DOUBLE) * "
                f"{GRAM_FP} + 0.5) AS BIGINT)) AS DOUBLE) / {GRAM_FP}", 6)} AS gram
-    FROM embeddings,
+    FROM {_EMB} AS embeddings,
          generate_series(1, {DIM}) i(i),
          generate_series(1, {DIM}) j(j)
     WHERE j.j >= i.i
@@ -325,7 +328,7 @@ def embedding_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "cell": sums}
             )
 
-    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
+    emb = load_embeddings(spark, sf_dir).select("embedding")
     partials = emb.mapInPandas(_partial_gram, schema="i int, j int, cell long")
     return (
         partials.groupBy("i", "j")

@@ -31,7 +31,11 @@ from sqload_spark.functions.text_funcs import (
 )
 from sqload_spark.registry import query
 from sqload_spark.session import persist_bounded
-from sqload_spark.sources.tables import load_table
+from sqload_spark.sources.tables import load_embeddings, load_table
+from sqload_spark.functions.vectors import EMB_VALID_SQL
+
+# Contract-filtered embeddings scan for oracles (vectors.EMB_VALID_SQL).
+_EMB = f"(SELECT * FROM embeddings WHERE {EMB_VALID_SQL})"
 
 JACCARD_THRESHOLD = 0.5
 NUM_PERM = 64
@@ -604,7 +608,7 @@ _EMB_COSINE_ORACLE = f"""
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            {sql_round_half_up(
                "list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])", 4)} AS cos_sim
-    FROM embeddings a, embeddings b
+    FROM {_EMB} a, {_EMB} b
     WHERE a.vec_id < b.vec_id
       AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {COSINE_DUP_THRESHOLD}
     ORDER BY vec_a, vec_b
@@ -632,7 +636,7 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold is interpreted per row — measured 3-4× slower on this pair
     # count). Same left-to-right association as the fold ⇒ bit-identical
     # values, oracle hash unchanged.
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     dim = 64
@@ -679,8 +683,8 @@ PRUNED_COSINE_THRESHOLD = 0.8
 PRUNED_N_PLANES = 160
 PRUNED_BITS_PER_BAND = 8
 
-_PRUNED_CORPUS_SQL = """
-    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+_PRUNED_CORPUS_SQL = f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {_EMB} AS embeddings),
     planted AS (
       SELECT vec_id + 1000000 AS vec_id,
              list_concat(v[1:60], [0.0, 0.0, 0.0, 0.0]) AS v
@@ -703,7 +707,7 @@ def _pruned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """embeddings ∪ deterministic planted near-dups (see comment above)."""
     from sqload_spark.functions.vectors import to_double_array
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     planted = emb.filter(F.col("vec_id") % 20 == 0).select(
@@ -807,7 +811,7 @@ def embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, [float(x) for x in row]) for i, row in enumerate(rng.randn(EMB_N_PLANES, 64))],
         "plane int, p array<double>",
     )
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     # Codegen discipline (measured at sf0.1, n=2000, ~2M candidates):

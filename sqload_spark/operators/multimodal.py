@@ -158,6 +158,12 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         rows = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                # NULL payload (encode(NULL) upstream): the oracle
+                # null-propagates every derived column — emit the same
+                # all-NULL row instead of crashing the Arrow batch.
+                rows.append((doc_id, None, None, None))
+                continue
             s = bytes(payload).decode("utf-8")
             n_frames = -(-len(s) // FRAME_CHARS)
             sampled = [
@@ -167,7 +173,9 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ck = sum(
                 int(hashlib.md5(f.encode("utf-8")).hexdigest()[:8], 16) for f in sampled
             )
-            rows.append((doc_id, n_frames, len(sampled), ck))
+            # empty payload: zero frames sampled; the oracle's
+            # list_sum([]) is NULL, so mirror NULL (not 0) for parity
+            rows.append((doc_id, n_frames, len(sampled), ck if sampled else None))
         yield pd.DataFrame(
             rows, columns=["doc_id", "n_frames", "n_sampled", "sample_checksum"]
         )

@@ -69,7 +69,7 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            count(*) AS n_total,
            CAST(sum(CASE WHEN {_u_sql("doc_id", "strat1")} <
-                         CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+                         CASE WHEN TRY_CAST(substr(source, 4) AS BIGINT) % 2 = 0
                               THEN {STRAT_EVEN} ELSE {STRAT_ODD} END
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
     FROM documents
@@ -80,10 +80,13 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stratum Bernoulli rates (even-numbered sources 50%, odd 10%) —
     the keep-decision stays map-side; only the reporting aggregate
-    shuffles (once, on source)."""
+    shuffles (once, on source). Sources without a numeric suffix (real
+    corpora have arbitrary source tags, and a plain cast raises under
+    ANSI mode) fall to the conservative odd-source rate via try_cast —
+    the same NULL-propagating CASE in both engines."""
     docs = load_table(spark, sf_dir, "documents")
     rate = F.when(
-        F.substring(F.col("source"), 4, 10).cast("bigint") % 2 == 0, STRAT_EVEN
+        F.substring(F.col("source"), 4, 10).try_cast("bigint") % 2 == 0, STRAT_EVEN
     ).otherwise(STRAT_ODD)
     kept = F.when(_u(F.col("doc_id"), "strat1") < rate, 1).otherwise(0)
     return (

@@ -25,10 +25,13 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
-from sqload_spark.functions.vectors import cosine, dot, to_double_array
+from sqload_spark.functions.vectors import EMB_VALID_SQL, cosine, dot, to_double_array
+
+# Contract-filtered embeddings scan for oracles (vectors.EMB_VALID_SQL).
+_EMB = f"(SELECT * FROM embeddings WHERE {EMB_VALID_SQL})"
 from sqload_spark.registry import query
 from sqload_spark.session import persist_bounded
-from sqload_spark.sources.tables import load_table
+from sqload_spark.sources.tables import load_embeddings, load_table
 
 TOP_K = 5
 DIM = 64
@@ -78,7 +81,7 @@ _TOPK_ORACLE = f"""
     WITH pairs AS (
       SELECT q.vec_id AS q_id, c.vec_id AS n_id,
              list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos_raw
-      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      FROM {_EMB} q JOIN {_EMB} c ON q.vec_id <> c.vec_id
       WHERE q.{QUERY_PRED_SQL}
     ), ranked AS (
       SELECT q_id, n_id, cos_raw,
@@ -93,7 +96,7 @@ _TOPK_ORACLE = f"""
 
 @query("sim_topk_bruteforce", oracle=_TOPK_ORACLE)
 def topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     q = _queries_df(emb).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
@@ -109,7 +112,7 @@ def topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT label, dim,
            {sql_round_half_up("avg(embedding[dim])", 6)} AS centroid_val
-    FROM embeddings, range(1, 9) t(dim)
+    FROM {_EMB} AS embeddings, range(1, 9) t(dim)
     GROUP BY label, dim
     ORDER BY label, dim
     """,
@@ -118,7 +121,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components (first 8 dims): the vector-aggregate
     building block of k-means / IVF training — posexplode + groupBy(label,
     dim), one shuffle of (label × dim) cells regardless of corpus size."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     exploded = emb.select(
         "label", F.posexplode(F.col("embedding")).alias("pos", "val")
     ).filter(F.col("pos") < 8)
@@ -132,7 +135,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hyperplane_topk(
     spark: SparkSession, sf_dir: str, n_planes: int, n_bands: int
 ) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     planes = _plane_literals(seed=7, n=n_planes)
@@ -202,7 +205,7 @@ def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     test is the honest contract for IVF here; the hash-checkable ANN path
     on this data is the banded hyperplane LSH above, whose candidate
     probability is data-independent."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     centroids = _plane_literals(seed=11, n=N_CENTROIDS)
@@ -246,7 +249,7 @@ KNN_PRED_SQL = "vec_id % 10 = 0"
     "sim_knn_graph",
     oracle=f"""
     WITH sub AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {KNN_PRED_SQL}
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM {_EMB} AS embeddings WHERE {KNN_PRED_SQL}
     ), pairs AS (
       SELECT a.vec_id AS src, b.vec_id AS dst,
              list_cosine_similarity(a.v, b.v) AS cos_raw
@@ -275,7 +278,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair stage would swap in the banded-LSH candidate miner
     (dedup.py); the subcorpus keeps this registration brute-force so the
     oracle is exact."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    emb = load_embeddings(spark, sf_dir).filter(F.col("vec_id") % 10 == 0)
     sub = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
     right = sub.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv"))
     pairs = (
@@ -318,7 +321,7 @@ def topk_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_embeddings(spark, sf_dir).select("vec_id", "embedding")
     q_rows = emb.filter(F.expr(QUERY_PRED_SQL)).collect()
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     qm = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
@@ -357,7 +360,7 @@ PR_ITERS = 3
 
 _PR_EDGE_CTES = f"""
     WITH sub AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {KNN_PRED_SQL}
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM {_EMB} AS embeddings WHERE {KNN_PRED_SQL}
     ), allpairs AS (
       SELECT a.vec_id AS src, b.vec_id AS dst,
              list_cosine_similarity(a.v, b.v) AS cos_raw
@@ -416,7 +419,7 @@ def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     node has outdegree (no dangling-mass term). The oracle replays the
     identical unrolled iterations as chained CTEs, so the iterative
     computation itself is hash-checked."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    emb = load_embeddings(spark, sf_dir).filter(F.col("vec_id") % 10 == 0)
     sub = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
     right = sub.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv"))
     pairs = (
@@ -468,7 +471,7 @@ def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH cells AS (
       SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS x
-      FROM embeddings, range(1, {DIM + 1}) t(dim)
+      FROM {_EMB} AS embeddings, range(1, {DIM + 1}) t(dim)
     ), stats AS (
       SELECT dim, min(x) AS lo, max(x) AS hi FROM cells GROUP BY dim
     ), coded AS (
@@ -495,7 +498,7 @@ def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut at 64-dim float32). max() is order-independent, and every quantity
     derives from exact min/max through identical IEEE arithmetic, so the
     whole path hash-checks — including the quantization error itself."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     cells = emb.select(
@@ -561,7 +564,7 @@ _MMR_ORACLE = f"""
     pairs AS (
       SELECT q.vec_id AS q_id, c.vec_id AS n_id,
              floor(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) * {_R6} + 0.5) / {_R6} AS rel
-      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      FROM {_EMB} q JOIN {_EMB} c ON q.vec_id <> c.vec_id
       WHERE q.{QUERY_PRED_SQL}
     ),
     cand AS (
@@ -612,7 +615,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE oracle that hash-checks the greedy loop itself."""
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     q = _queries_df(emb).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
@@ -688,7 +691,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_EDGES_SQL = f"""
       sub AS (
-        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE {KNN_PRED_SQL}
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM {_EMB} AS embeddings WHERE {KNN_PRED_SQL}
       ), pairs AS (
         SELECT a.vec_id AS src, b.vec_id AS dst,
                list_cosine_similarity(a.v, b.v) AS cos_raw
@@ -786,7 +789,7 @@ _CE_ORACLE = f"""
     WITH pairs AS (
       SELECT q.vec_id AS q_id, c.vec_id AS n_id,
              floor(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) * 1000000.0 + 0.5) / 1000000.0 AS rel
-      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      FROM {_EMB} q JOIN {_EMB} c ON q.vec_id <> c.vec_id
       WHERE q.{QUERY_PRED_SQL}
     ),
     cand AS (
@@ -819,7 +822,7 @@ def crossencoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     q = _queries_df(emb).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))

@@ -11,9 +11,12 @@ from pyspark.sql import functions as F
 
 from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
 from sqload_spark.functions.text_funcs import tokens
-from sqload_spark.functions.vectors import norm, to_double_array
+from sqload_spark.functions.vectors import EMB_VALID_SQL, norm, to_double_array
+
+# Contract-filtered embeddings scan for oracles (vectors.EMB_VALID_SQL).
+_EMB = f"(SELECT * FROM embeddings WHERE {EMB_VALID_SQL})"
 from sqload_spark.registry import query
-from sqload_spark.sources.tables import load_table
+from sqload_spark.sources.tables import load_embeddings, load_table
 
 
 @query(
@@ -107,7 +110,7 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                "avg(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))))", 4)} AS avg_norm,
            {sql_round_half_up(
                "max(list_sum(list_transform(embedding::DOUBLE[], x -> abs(x))))", 4)} AS max_l1
-    FROM embeddings
+    FROM {_EMB} AS embeddings
     GROUP BY label
     ORDER BY label
     """,
@@ -115,7 +118,7 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector arithmetic over array<float>: L2/L1 norms per label — array
     fold expressions, no UDFs."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "label", to_double_array(F.col("embedding")).alias("v")
     )
     l1 = F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + F.abs(x))
@@ -141,7 +144,7 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 1 ELSE 0 END AS has_extreme,
            {sql_round_half_up(
                "list_reduce(list_transform(embedding::DOUBLE[], x -> x * x), (a, b) -> a + b)", 6)} AS sq_norm
-    FROM embeddings
+    FROM {_EMB} AS embeddings
     WHERE vec_id < 100
     ORDER BY vec_id
     """,
@@ -153,7 +156,7 @@ def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches DuckDB's list_reduce order). These run per-row with no
     shuffle; the fold order is left-to-right in both engines, so even the
     floating reduction hash-checks."""
-    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    emb = load_embeddings(spark, sf_dir).filter(F.col("vec_id") < 100)
     v = to_double_array(F.col("embedding"))
     return (
         emb.select(

@@ -41,6 +41,13 @@ def _quality_features(text: pd.Series) -> pd.DataFrame:
     stop = set(STOPWORDS)
     rows = []
     for t in text:
+        if t is None:
+            # NULL text: the expression twin and the SQL oracle both
+            # null-propagate (string_split(NULL) → NULL features), so the
+            # Python path must emit the same all-NULL row, not crash the
+            # stage (tools/adversarial_run.py).
+            rows.append((None, None, None, None, None))
+            continue
         toks = t.split(" ")
         n = len(toks)
         ttr = len(set(toks)) / n
@@ -68,6 +75,10 @@ def _top_terms_group(pdf: pd.DataFrame) -> pd.DataFrame:
     lang = pdf["lang"].iloc[0]
     counts: dict[str, int] = {}
     for t in pdf["text"]:
+        if t is None:
+            # NULL text contributes no terms — unnest(string_split(NULL))
+            # yields zero rows in the oracle.
+            continue
         for w in t.split(" "):
             counts[w] = counts.get(w, 0) + 1
     ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
@@ -119,6 +130,9 @@ def quality_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         useArrow=True,
     )
     def features(t: str):
+        if t is None:
+            # same NULL row the expression twin / oracle produce
+            return (None, None, None, None, None)
         toks = t.split(" ")
         n = len(toks)
         ttr = len(set(toks)) / n

@@ -72,6 +72,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table under the validity contract
+    (functions.vectors.valid_embedding): zero-norm, NULL, NaN/inf and
+    absurd-magnitude vectors are excluded before any similarity /
+    clustering / fixed-point math. Every embedding-family query loads
+    through this (and bakes the same predicate into its DuckDB oracle via
+    vectors.EMB_VALID_SQL), so the engine neither crashes under ANSI
+    division (Spark) nor invents -1 cosine sentinels (DuckDB) on the
+    degenerate rows a real corpus contains — tools/adversarial_run.py is
+    the evidence. On a clean corpus the filter keeps every row."""
+    from sqload_spark.functions.vectors import valid_embedding
+
+    df = load_table(spark, sf_dir, "embeddings")
+    return df.filter(valid_embedding(F.col("embedding")))
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view (for the SQL-flavored operators)."""
     for name in TABLE_NAMES:
