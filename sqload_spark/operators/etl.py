@@ -695,13 +695,22 @@ _LOG_RE = r"^\[([0-9]+)\] user=([0-9]+) type=([a-z]+) value=([^ ]+) id=([0-9]+)$
            CAST(sum(CAST(user_id AS BIGINT)) AS BIGINT) AS sum_users,
            floor((CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_value
     FROM events
+    WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL
+      AND event_id IS NOT NULL AND regexp_matches(event_type, '^[a-z]+$')
     GROUP BY event_type
     ORDER BY event_type
     """,
 )
 def text_logparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Render events to text log lines, re-ingest with regexp schema-on-
-    read, aggregate — hash-checked against the pre-render table."""
+    read, aggregate — hash-checked against the pre-render table.
+
+    Dead-letter contract for dirty rows, identical in both engines: a row
+    with any NULL field cannot render (concat null-propagates), and a
+    rendered line whose event_type is not ^[a-z]+$ fails the parse regex;
+    both are dropped, not crashed on — the oracle models the same
+    predicate over the original table. The regexp-group casts are safe
+    under ANSI only BECAUSE the rlike gate guarantees numeric groups."""
     ev = load_table(spark, sf_dir, "events")
     line = F.concat(
         F.lit("["), F.col("ts_ns").cast("string"), F.lit("] user="),
@@ -710,9 +719,11 @@ def text_logparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("string"),
     )
     path = os.path.join(_SCRATCH, "events_textlog")
-    ev.select(line.alias("value")).write.mode("overwrite").text(path)
+    ev.select(line.alias("value")).filter(F.col("value").isNotNull()).write.mode(
+        "overwrite"
+    ).text(path)
     raw = spark.read.text(path)
-    parsed = raw.select(
+    parsed = raw.filter(F.col("value").rlike(_LOG_RE)).select(
         F.regexp_extract("value", _LOG_RE, 2).cast("bigint").alias("user_id"),
         F.regexp_extract("value", _LOG_RE, 3).alias("event_type"),
         F.regexp_extract("value", _LOG_RE, 4).cast("double").alias("value"),
@@ -765,12 +776,21 @@ def csv_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract."""
     ev = load_table(spark, sf_dir, "events")
     corrupt = F.col("event_id") % 97 == 0
-    line = F.concat_ws(
-        ",",
-        F.col("event_id").cast("string"),
-        F.col("user_id").cast("string"),
+
+    # NULL fields must render as EMPTY cells, keeping column positions.
+    # concat_ws SKIPS NULL arguments, so a NULL user_id used to shift the
+    # value into the user column ("100004,1.5") and PERMISSIVE quarantined
+    # a row the corruption rule never touched (tools/adversarial_run.py).
+    def cell(c):
+        return F.coalesce(c.cast("string"), F.lit(""))
+
+    line = F.concat(
+        cell(F.col("event_id")),
+        F.lit(","),
+        cell(F.col("user_id")),
+        F.lit(","),
         # corrupted rows emit a non-numeric value field
-        F.when(corrupt, F.lit("###")).otherwise(F.col("value").cast("string")),
+        F.when(corrupt, F.lit("###")).otherwise(cell(F.col("value"))),
     )
     path = os.path.join(_SCRATCH, "events_dirty_csv")
     ev.select(line.alias("value")).write.mode("overwrite").text(path)

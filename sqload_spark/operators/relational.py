@@ -853,7 +853,7 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           floor(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) * 10000.0 + 0.5) / 10000.0 AS avg_k
+           floor(avg(TRY_CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) * 10000.0 + 0.5) / 10000.0 AS avg_k
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -861,10 +861,14 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`props` is a JSON string column (`{"k": 87}`): extract server-side
-    with get_json_object (codegen'd path, no UDF)."""
+    with get_json_object (codegen'd path, no UDF). try_cast, not cast:
+    real feeds carry malformed JSON and wrong-typed values, where
+    get_json_object returns a non-numeric string and a plain cast raises
+    under ANSI; both engines NULL the value instead (avg skips it, the
+    row still counts)."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.select("event_type", F.get_json_object("props", "$.k").cast("bigint").alias("k"))
+        ev.select("event_type", F.get_json_object("props", "$.k").try_cast("bigint").alias("k"))
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"), round_half_up(F.avg("k"), 4).alias("avg_k"))
         .orderBy("event_type")

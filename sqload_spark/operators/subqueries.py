@@ -123,9 +123,9 @@ def correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_from_json_map",
     oracle="""
-    SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 10 AS k_bucket,
+    SELECT TRY_CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT) % 10 AS k_bucket,
            count(*) AS n_events,
-           CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_sum
+           CAST(sum(TRY_CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS k_sum
     FROM events
     GROUP BY 1
     ORDER BY k_bucket
@@ -134,7 +134,11 @@ def correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def from_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Complex-typed column surface: parse props into MapType(string,long)
     with from_json, access by key, aggregate. (The oracle reads the same
-    value by regex — proving the JSON parser agrees with the raw text.)"""
+    value by regex — proving the JSON parser agrees with the raw text.)
+    Malformed / wrong-typed / missing-key props NULL out identically in
+    both engines (from_json's PERMISSIVE NULL vs the oracle's
+    TRY_CAST(NULLIF(...))), landing those rows in the NULL bucket rather
+    than raising — one dirty feed row must not kill the aggregate."""
     ev = load_table(spark, sf_dir, "events")
     parsed = ev.select(
         F.from_json("props", T.MapType(T.StringType(), T.LongType())).alias("m")

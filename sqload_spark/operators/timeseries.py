@@ -430,9 +430,10 @@ EWMA_WINDOW = 16
     oracle=f"""
     WITH lagged AS (
       SELECT user_id, epoch_us(ts) AS ts_us, event_id,
-             list(value) OVER (
+             list_filter(list(value) OVER (
                PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-               ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW) AS lst
+               ROWS BETWEEN {EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW),
+               x -> x IS NOT NULL) AS lst
       FROM events WHERE user_id <= 20
     )
     SELECT user_id, ts_us, event_id,
@@ -468,12 +469,18 @@ def ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # collect_list SKIPS NULL measurements (the standard missing-data
+    # semantics for an EWMA) while DuckDB's list() keeps them — the oracle
+    # list_filters NULLs out so both engines weight the identical non-null
+    # sequence. The size guard covers an all-NULL frame, where the raw
+    # 0.0/0.0 would raise under ANSI (Spark 4 default) instead of giving
+    # the oracle's NULL.
     return (
         ev.select(
             "user_id",
             "ts_us",
             "event_id",
-            round_half_up(weighted / wsum, 4).alias("ewma"),
+            F.when(F.size(lst) > 0, round_half_up(weighted / wsum, 4)).alias("ewma"),
         )
         .orderBy("user_id", "ts_us", "event_id")
     )

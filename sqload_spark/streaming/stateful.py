@@ -51,8 +51,15 @@ def _update_profile(
     n, vcents, last_us = state.get if state.exists else (0, 0, 0)
     for pdf in batches:
         n += len(pdf)
-        vcents += int((pdf["value"] * 100).round().astype("int64").sum())
-        last_us = max(last_us, int(pdf["ts_us"].max()))
+        # dropna: a NULL measurement arrives as NaN, and NaN.astype(int64)
+        # raises — the row still counts (the oracle's count(*) vs
+        # sum(CAST ...) make the same distinction: count all, sum non-null)
+        vals = pdf["value"].dropna()
+        if len(vals):
+            vcents += int((vals * 100).round().astype("int64").sum())
+        ts_vals = pdf["ts_us"].dropna()
+        if len(ts_vals):
+            last_us = max(last_us, int(ts_vals.max()))
     state.update((n, vcents, last_us))
     yield pd.DataFrame(
         {

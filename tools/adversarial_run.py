@@ -78,6 +78,33 @@ ADVERSARIAL_DOCS = [
     (100021, "x y " * 5000, "en", "srcE"),               # 10k tiny tokens
 ]
 
+# Adversarial events: event_ids from 100000. The ingestion-shaped hazards
+# of a real event stream: NULL dimensions (failed enrichment), malformed
+# and shape-shifting JSON props, empty/unicode event types, negative and
+# huge values, exact window-boundary and tied timestamps, and epoch
+# outliers that stress watermark/date logic.
+ADVERSARIAL_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (100000, "2024-01-15 00:00:00.000000", 3, "click", 1.0, '{"k": 1}'),      # exact 10-min boundary
+    (100001, "2024-01-15 00:10:00.000000", 3, "click", 1.0, '{"k": 2}'),      # next boundary, same user
+    (100002, "2024-01-15 00:10:00.000000", 3, "view", 2.0, '{"k": 3}'),       # tied ts, same user
+    (100003, "2024-01-15 00:10:00.000000", 4, "click", 2.0, '{"k": 4}'),      # tied ts, other user
+    (100004, "2024-01-16 12:00:00.000000", None, "click", 1.5, '{"k": 5}'),   # NULL user
+    (100005, "2024-01-16 12:01:00.000000", 5, None, 1.5, '{"k": 6}'),         # NULL type
+    (100006, "2024-01-16 12:02:00.000000", 5, "", 1.5, '{"k": 7}'),           # empty type
+    (100007, "2024-01-16 12:03:00.000000", 5, "点击", 1.5, '{"k": 8}'),        # unicode type
+    (100008, "2024-01-17 08:00:00.000000", 6, "click", None, '{"k": 9}'),     # NULL value
+    (100009, "2024-01-17 08:01:00.000000", 6, "click", -50.0, '{"k": 10}'),   # negative value
+    (100010, "2024-01-17 08:02:00.000000", 6, "click", 0.0, '{"k": 11}'),     # zero value
+    (100011, "2024-01-18 09:00:00.000000", 7, "click", 3.0, None),            # NULL props
+    (100012, "2024-01-18 09:01:00.000000", 7, "click", 3.0, "{not json"),     # malformed JSON
+    (100013, "2024-01-18 09:02:00.000000", 7, "click", 3.0, "[]"),            # JSON array, not object
+    (100014, "2024-01-18 09:03:00.000000", 7, "click", 3.0, "{}"),            # missing key
+    (100015, "2024-01-18 09:04:00.000000", 7, "click", 3.0, '{"k": "str"}'),  # wrong value type
+    (100016, "2024-01-18 09:05:00.000000", 7, "click", 3.0, '{"k": {"a": 1}}'),  # nested value
+    (100017, "2024-01-02 23:59:59.999999", 8, "click", 4.0, '{"k": 12}'),     # day-boundary micros
+]
+
 # Adversarial embeddings: vec_ids from 100000, 64-dim each.
 DIM = 64
 
@@ -116,6 +143,23 @@ def build_corpus(docs_only: bool) -> str:
                 """
             )
             con.close()
+        elif t == "events" and not docs_only:
+            con = duckdb.connect()
+            con.execute(
+                "CREATE TABLE adv (event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+                " event_type VARCHAR, value DOUBLE, props VARCHAR)"
+            )
+            con.executemany("INSERT INTO adv VALUES (?, ?, ?, ?, ?, ?)", ADVERSARIAL_EVENTS)
+            con.execute(
+                f"""
+                COPY (
+                  SELECT * FROM read_parquet('{src}')
+                  UNION ALL
+                  SELECT * FROM adv
+                ) TO '{out}/{t}.parquet' (FORMAT PARQUET)
+                """
+            )
+            con.close()
         elif t == "embeddings" and not docs_only:
             con = duckdb.connect()
             con.execute("CREATE TABLE adv (vec_id BIGINT, embedding FLOAT[], label INTEGER)")
@@ -142,7 +186,9 @@ def main() -> int:
         only = [a for a in sys.argv[sys.argv.index("--only") + 1 :] if not a.startswith("--")]
     corpus = build_corpus(docs_only)
     print(f"adversarial corpus: {corpus}  (docs +{len(ADVERSARIAL_DOCS)}"
-          + ("" if docs_only else f", embeddings +{len(_adversarial_embeddings())}") + ")")
+          + ("" if docs_only else
+             f", embeddings +{len(_adversarial_embeddings())}, events +{len(ADVERSARIAL_EVENTS)}")
+          + ")")
 
     from pyspark.sql import SparkSession
 
@@ -179,6 +225,11 @@ def main() -> int:
         match = len(sp) == len(du) and canon_rows(sp) == canon_rows(du)
         tag = "MATCH" if match else "MISMATCH"
         print(f"{tag:9s} {name:35s} rows={len(sp):6d} oracle={len(du):6d} {time.time() - t0:5.1f}s")
+        if not match and len(sp) == len(du):
+            a, b = canon_rows(sp), canon_rows(du)
+            for x, y in [(x, y) for x, y in zip(a, b) if x != y][:3]:
+                print("  spark :", x)
+                print("  oracle:", y)
         ok += match
         bad += not match
     print(f"RESULT: {ok} match, {bad} mismatch, {err} error")
