@@ -223,8 +223,15 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey", F.lit(12))).alias("direct_estimate"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+    # Null-safe rekey (adversarial part 3): the merged and direct halves
+    # are re-joined on the GROUP key, and group keys can be NULL — a plain
+    # equi-join silently drops the NULL-flag group (NULL != NULL) that the
+    # single-scan oracle keeps. Any aggregate-then-rejoin-on-group-key
+    # pattern needs <=> on the key.
+    direct = direct.withColumnRenamed("l_returnflag", "rf_direct")
     return (
-        merged.join(direct, "l_returnflag")
+        merged.join(direct, F.col("l_returnflag").eqNullSafe(F.col("rf_direct")))
+        .drop("rf_direct")
         .select(
             "l_returnflag",
             "exact_orders",

@@ -98,10 +98,30 @@ def partitioned_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     order key (balanced, sorted part files — what a partitioned DB bulk
     loader ingests) + hive-style directory partitioning on l_returnflag,
     then a partition-pruned read-back aggregation. The oracle on the
-    original table proves the load is lossless."""
+    original table proves the load is lossless.
+
+    Hive-style directory partitioning is NOT value-faithful for string
+    keys (adversarial part 3): both NULL and '' land in
+    __HIVE_DEFAULT_PARTITION__, so a round trip silently merges them —
+    one group vanished versus the oracle. The engine's bulk-load contract:
+    partition directories are named by an ESCAPED twin of the key
+    (NULL → '__null__', '' → '__empty__'; real values pass through and
+    must not collide with the sentinels), while the raw column rides in
+    the data files, so the read-back answers group-bys losslessly and a
+    pruning filter on flag F maps to part_flag = escape(F)."""
     li = load_table(spark, sf_dir, "lineitem")
     path = os.path.join(_SCRATCH, "lineitem_load")
-    write_partitioned_parquet(li, path, range_key="l_orderkey", partition_by=["l_returnflag"])
+    escaped = (
+        F.when(F.col("l_returnflag").isNull(), "__null__")
+        .when(F.col("l_returnflag") == "", "__empty__")
+        .otherwise(F.col("l_returnflag"))
+    )
+    write_partitioned_parquet(
+        li.withColumn("part_flag", escaped),
+        path,
+        range_key="l_orderkey",
+        partition_by=["part_flag"],
+    )
     back = spark.read.parquet(path)
     return (
         back.groupBy("l_returnflag")
@@ -132,9 +152,17 @@ def jdbc_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     (parallel range queries on o_orderkey) → aggregate. The oracle on the
     original parquet proves the database round trip is lossless. Against a
     server RDBMS (MySQL/OceanBase/Postgres) only the url/driver change;
-    Derby is what this container has. createTableColumnTypes pins VARCHAR
-    (Derby's default Spark mapping for strings is CLOB, which can't be
-    compared/grouped server-side)."""
+    Derby is what this container has.
+
+    The string column rides as the dialect's native CLOB mapping, NOT a
+    createTableColumnTypes VARCHAR pin (adversarial part 3): Spark's
+    writer takes the JDBC type for setNull() from the DIALECT
+    (StringType → Types.CLOB on Derby) regardless of the created column
+    type, and Derby rejects the cross-type setNull — so a VARCHAR-pinned
+    load works on clean data and dies on the FIRST NULL string. All
+    comparisons/grouping happen Spark-side after read-back, so CLOB
+    storage costs nothing here; a server RDBMS whose dialect maps strings
+    to VARCHAR/TEXT has no such split-brain to begin with."""
     from sqload_spark.sources.sinks import read_jdbc_partitioned, write_jdbc
 
     # keep derby.log in the scratch dir, not the caller's CWD (no-op once
@@ -151,7 +179,6 @@ def jdbc_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         "orders_load",
         mode="overwrite",
         num_partitions=4,
-        createTableColumnTypes="o_orderstatus VARCHAR(1)",
         **props,
     )
     lo, hi = od.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()

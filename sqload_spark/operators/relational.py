@@ -569,18 +569,27 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            floor((sum(l_extendedprice) OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ORDER BY l_shipdate NULLS LAST, l_orderkey, l_linenumber
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS running_revenue
     FROM lineitem
     WHERE l_suppkey <= 10
-    ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
+    ORDER BY l_suppkey, l_shipdate NULLS LAST, l_orderkey, l_linenumber
     """,
 )
 def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) revenue per supplier in shipdate order.
+
+    NULL-ordering contract (adversarial part 3): a NULL sort key placed a
+    dirty row FIRST in Spark (ASC default NULLS FIRST) but LAST in the
+    oracle (DuckDB default NULLS LAST), shifting every running sum in the
+    partition by that row's value — silent, order-of-NULLs divergence.
+    The engine's documented window semantics are NULLS LAST on ascending
+    keys (unknown sort keys sort after known ones), explicit on BOTH
+    sides; DESC keys already agree (both engines default NULLS LAST)."""
     li = load_table(spark, sf_dir, "lineitem")
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(F.asc_nulls_last("l_shipdate"), "l_orderkey", "l_linenumber")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
@@ -602,17 +611,21 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            coalesce(CAST(date_diff('day',
-               lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey),
                o_orderdate) AS BIGINT), -1) AS days_since_prev,
-           coalesce(lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), -1) AS next_orderkey
+           coalesce(lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey), -1) AS next_orderkey
     FROM orders
     WHERE o_custkey <= 100
     ORDER BY o_custkey, o_orderdate, o_orderkey
     """,
 )
 def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead per customer in order-date order. NULLS LAST on the
+    ascending date key — the engine's window NULL-ordering contract (see
+    window_running_revenue); without it a NULL o_orderdate silently
+    shifts every lag/lead in the partition between engines."""
     od = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = W.partitionBy("o_custkey").orderBy(F.asc_nulls_last("o_orderdate"), "o_orderkey")
     return (
         od.filter(F.col("o_custkey") <= 100)
         .select(
@@ -820,8 +833,8 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            floor((abs(l_extendedprice - 50000)) * 100.0 + 0.5) / 100.0        AS price_dev,
-           floor((sqrt(l_quantity)) * 10000.0 + 0.5) / 10000.0                    AS qty_sqrt,
-           floor((ln(l_extendedprice)) * 10000.0 + 0.5) / 10000.0                 AS price_ln,
+           floor((CASE WHEN l_quantity >= 0 THEN sqrt(l_quantity) END) * 10000.0 + 0.5) / 10000.0       AS qty_sqrt,
+           floor((CASE WHEN l_extendedprice > 0 THEN ln(l_extendedprice) END) * 10000.0 + 0.5) / 10000.0 AS price_ln,
            floor((power(1 + l_discount, 2)) * 10000.0 + 0.5) / 10000.0            AS disc_sq,
            CAST(floor(l_quantity / 10) AS BIGINT)        AS qty_bucket,
            CAST(l_orderkey % 7 AS BIGINT)                AS key_mod
@@ -831,15 +844,23 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math over fact rows, with explicit domain guards
+    (adversarial part 3): sqrt/ln are undefined off-domain, and the
+    engines disagree on what "undefined" means — Spark sqrt(-5) yields
+    NaN and DuckDB raises. The engine's semantics: out-of-domain math is
+    NULL (the row survives, the value is unknown), stated as the same
+    CASE guard on both sides."""
     li = load_table(spark, sf_dir, "lineitem")
+    qty_ok = F.col("l_quantity") >= 0
+    price_ok = F.col("l_extendedprice") > 0
     return (
         li.filter(F.col("l_partkey") <= 20)
         .select(
             "l_orderkey",
             "l_linenumber",
             round_half_up(F.abs(F.col("l_extendedprice") - 50000), 2).alias("price_dev"),
-            round_half_up(F.sqrt("l_quantity"), 4).alias("qty_sqrt"),
-            round_half_up(F.log(F.col("l_extendedprice")), 4).alias("price_ln"),
+            round_half_up(F.when(qty_ok, F.sqrt("l_quantity")), 4).alias("qty_sqrt"),
+            round_half_up(F.when(price_ok, F.log(F.col("l_extendedprice"))), 4).alias("price_ln"),
             round_half_up(F.pow(1 + F.col("l_discount"), 2), 4).alias("disc_sq"),
             F.floor(F.col("l_quantity") / 10).cast("bigint").alias("qty_bucket"),
             (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),

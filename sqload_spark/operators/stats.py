@@ -214,7 +214,7 @@ def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_type AS mode_type, n FROM (
       SELECT user_id, event_type, count(*) AS n,
              row_number() OVER (
-               PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn
+               PARTITION BY user_id ORDER BY count(*) DESC, event_type NULLS LAST) AS rn
       FROM events GROUP BY user_id, event_type)
     WHERE rn = 1
     ORDER BY user_id
@@ -224,10 +224,13 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-entity MODE (most frequent category): count per (key, category)
     — one shuffle with map-side partials — then a window argmax with a
     total tie-break. The grouped-argmax shape every feature pipeline
-    needs; never collects a frequency map driver-side."""
+    needs; never collects a frequency map driver-side. The categorical
+    tie-break is NULLS LAST (the engine's window NULL-ordering contract):
+    if an entity's NULL-category count ties its top real category, both
+    engines prefer the real one."""
     ev = load_table(spark, sf_dir, "events")
     counted = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
-    w = W.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    w = W.partitionBy("user_id").orderBy(F.col("n").desc(), F.asc_nulls_last("event_type"))
     return (
         counted.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -293,7 +296,7 @@ N_HIST_BUCKETS = 10
     oracle=f"""
     WITH bucketed AS (
       SELECT o_totalprice,
-             ntile({N_HIST_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+             ntile({N_HIST_BUCKETS}) OVER (ORDER BY o_totalprice NULLS LAST, o_orderkey) AS bucket
       FROM orders
     )
     SELECT bucket,
@@ -312,9 +315,12 @@ def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break makes bucket assignment total and cross-engine identical.
     Note the global sort: exact equi-depth is inherently a total order —
     at 100 TB you run this on a sample or swap in approx_percentile
-    bounds; the exact form is what the oracle can check."""
+    bounds; the exact form is what the oracle can check. NULLS LAST on
+    the ascending price key (the engine's window NULL-ordering contract,
+    see window_running_revenue): a NULL price lands in the last bucket in
+    both engines instead of shifting every bucket boundary."""
     od = load_table(spark, sf_dir, "orders")
-    w = W.orderBy("o_totalprice", "o_orderkey")
+    w = W.orderBy(F.asc_nulls_last("o_totalprice"), "o_orderkey")
     return (
         od.select("o_totalprice", F.ntile(N_HIST_BUCKETS).over(w).alias("bucket"))
         .groupBy("bucket")
@@ -380,7 +386,7 @@ def winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH banded AS (
       SELECT n_nationkey, c_custkey, c_acctbal,
              ntile(4) OVER (PARTITION BY n_nationkey
-                            ORDER BY c_acctbal, c_custkey) AS quartile
+                            ORDER BY c_acctbal NULLS LAST, c_custkey) AS quartile
       FROM customer JOIN nation ON c_nationkey = n_nationkey
     )
     SELECT n_nationkey, quartile,
@@ -396,12 +402,15 @@ def window_ntile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile(4) banding — the bucketing window function (equal-count
     quartiles per nation) the distribution suite hadn't covered; the
     (c_acctbal, c_custkey) order key makes tile assignment total, so both
-    engines band identically."""
+    engines band identically. NULLS LAST on the ascending balance key
+    (the engine's window NULL-ordering contract): a NULL balance bands
+    into the top quartile in both engines instead of the bottom one in
+    Spark only."""
     from pyspark.sql import Window as W
 
     cu = load_table(spark, sf_dir, "customer")
     na = load_table(spark, sf_dir, "nation")
-    w = W.partitionBy("n_nationkey").orderBy("c_acctbal", "c_custkey")
+    w = W.partitionBy("n_nationkey").orderBy(F.asc_nulls_last("c_acctbal"), "c_custkey")
     banded = (
         cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .select("n_nationkey", "c_custkey", "c_acctbal")

@@ -76,19 +76,24 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_distribution",
     oracle=f"""
     SELECT o_orderkey,
-           ntile(4)       OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS price_quartile,
+           ntile(4)       OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice NULLS LAST, o_orderkey) AS price_quartile,
            {sql_round_half_up(
-               "percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)", 6)} AS pct_rank,
+               "percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice NULLS LAST, o_orderkey)", 6)} AS pct_rank,
            {sql_round_half_up(
-               "cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)", 6)} AS cume
+               "cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice NULLS LAST, o_orderkey)", 6)} AS cume
     FROM orders
     WHERE o_custkey <= 50
     ORDER BY o_orderkey
     """,
 )
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (ntile / percent_rank / cume_dist) per
+    priority. NULLS LAST on the ascending price key — the engine's window
+    NULL-ordering contract (see window_running_revenue in relational.py)."""
     od = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.asc_nulls_last("o_totalprice"), "o_orderkey"
+    )
     return (
         od.filter(F.col("o_custkey") <= 50)
         .select(

@@ -745,6 +745,7 @@ def ds_hour_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders
       JOIN customer ON o_custkey = c_custkey
       JOIN nation   ON c_nationkey = n_nationkey
+      WHERE o_orderdate IS NOT NULL
       GROUP BY 1, 2
     )
     SELECT n_name, o_year,
@@ -760,11 +761,18 @@ def ds_yoy_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS Q47 shape: window-over-aggregate — yearly revenue per nation,
     then a lag() ratio across years WITHIN the aggregated table. The
     window runs on the |nations × years| aggregate, never the fact; the
-    ratio divides exact decimal sums so it is bit-stable at 6dp."""
+    ratio divides exact decimal sums so it is bit-stable at 6dp.
+
+    Calendar rollups exclude unknown dates (adversarial part 3): a NULL
+    o_orderdate has no year, and a NULL year in the lag chain diverges
+    between engines twice over — NULL-ordering decides WHICH row becomes
+    its lag, and the NULL group promotes the oracle's BIGINT year column
+    to float64 in pandas (dtype hash break). The explicit IS NOT NULL is
+    the stated semantics, on both sides."""
     from sqload_spark.sources.tables import load_table as _lt
     from pyspark.sql import Window as W
 
-    od = _lt(spark, sf_dir, "orders")
+    od = _lt(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
     cu = _lt(spark, sf_dir, "customer")
     na = _lt(spark, sf_dir, "nation")
     yearly = (

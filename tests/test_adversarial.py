@@ -109,6 +109,125 @@ def test_quality_udfs_null_text_row():
     assert out.iloc[2]["n_tokens"] == 1  # "".split(" ") == [""] in all engines
 
 
+# ---------------------------------------------------------------------------
+# Part-3 guards: dirty TPC-H fact rows (NULL sort/group keys, hive partition
+# collapse, dialect-split JDBC NULLs, off-domain math). Each law below was a
+# real mismatch or stage kill on the first part-3 adversarial run.
+# ---------------------------------------------------------------------------
+
+
+def test_window_null_ordering_contract(spark):
+    """The engine's window contract is NULLS LAST on ascending keys: a NULL
+    sort key enters a running sum LAST (DuckDB's default placement), not
+    first (Spark's ASC default, which silently shifts every running value
+    in the partition)."""
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [(1, None, 100.0), (1, "1995-01-02", 10.0), (1, "1995-01-01", 1.0)],
+        "k bigint, d string, v double",
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy(F.asc_nulls_last("d"), "v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    run = {
+        (r.d or "<null>"): r.run
+        for r in df.select("d", F.sum("v").over(w).alias("run")).collect()
+    }
+    assert run["1995-01-01"] == 1.0 and run["1995-01-02"] == 11.0
+    assert run["<null>"] == 111.0  # the NULL row accumulates last
+
+
+def test_duckdb_default_null_order_is_last():
+    """The oracle side of the contract: DuckDB's default null ordering is
+    NULLS LAST for ascending sorts (so the Spark-side asc_nulls_last
+    modifier makes the engines agree without touching every oracle). If a
+    DuckDB upgrade flipped this default, this canary fails before any
+    oracle does."""
+    import duckdb
+
+    rows = duckdb.connect().execute(
+        "SELECT v FROM (VALUES (2), (NULL), (1)) t(v) ORDER BY v"
+    ).fetchall()
+    assert [r[0] for r in rows] == [1, 2, None]
+
+
+def test_aggregate_rejoin_keeps_null_group(spark):
+    """Re-joining two aggregates of the same table on the GROUP key must be
+    null-safe (<=>): a plain equi-join drops the NULL-key group that a
+    single-scan GROUP BY keeps."""
+    df = spark.createDataFrame(
+        [("A", 1), ("A", 2), (None, 3), (None, 4)], "flag string, v int"
+    )
+    left = df.groupBy("flag").agg(F.sum("v").alias("s"))
+    right = df.groupBy("flag").agg(F.count("*").alias("n")).withColumnRenamed("flag", "rf")
+    plain = left.join(right, F.col("flag") == F.col("rf")).count()
+    safe = left.join(right, F.col("flag").eqNullSafe(F.col("rf"))).count()
+    assert plain == 1  # the NULL group silently vanished
+    assert safe == 2   # <=> keeps it
+
+
+def test_partition_escape_roundtrips_null_and_empty(spark, tmp_path):
+    """Hive-style directory partitioning collapses NULL and '' into
+    __HIVE_DEFAULT_PARTITION__; the escaped-twin contract (partition on
+    escape(key), keep the raw column as data) round-trips both."""
+    df = spark.createDataFrame(
+        [(1, "A"), (2, None), (3, ""), (4, "A")], "id bigint, flag string"
+    )
+    escaped = (
+        F.when(F.col("flag").isNull(), "__null__")
+        .when(F.col("flag") == "", "__empty__")
+        .otherwise(F.col("flag"))
+    )
+    path = str(tmp_path / "esc")
+    df.withColumn("pk", escaped).write.partitionBy("pk").parquet(path)
+    back = spark.read.parquet(path)
+    groups = {
+        (r.flag if r.flag is not None else "<null>"): r.n
+        for r in back.groupBy("flag").agg(F.count("*").alias("n")).collect()
+    }
+    assert groups == {"A": 2, "<null>": 1, "": 1}
+
+
+def test_jdbc_null_string_survives_derby_roundtrip(spark, tmp_path):
+    """Spark's JDBC writer takes the setNull() type from the DIALECT
+    (StringType → CLOB on Derby), so a createTableColumnTypes VARCHAR pin
+    makes the first NULL string raise 22005. Unpinned (native CLOB), the
+    NULL round-trips."""
+    from sqload_spark.sources.sinks import write_jdbc
+
+    spark._jvm.System.setProperty("derby.system.home", str(tmp_path))
+    url = f"jdbc:derby:{tmp_path}/unit_db;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame([(1, "O"), (2, None)], "k bigint, s string")
+    write_jdbc(df, url, "t_null_str", mode="overwrite", num_partitions=1, **props)
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "t_null_str")
+        .option("driver", props["driver"])
+        .load()
+    )
+    back = back.toDF(*[c.lower() for c in back.columns])
+    rows = {r.k: r.s for r in back.collect()}
+    assert rows == {1: "O", 2: None}
+
+
+def test_math_domain_guards_null_not_nan(spark):
+    """Off-domain math is NULL in both engines under the guard: Spark's
+    bare sqrt(-5) is NaN (which DuckDB would RAISE on instead), so the
+    guarded column must contain no NaN — only NULL."""
+    df = spark.createDataFrame([(-5.0,), (4.0,), (None,)], "q double")
+    guarded = df.select(
+        F.when(F.col("q") >= 0, F.sqrt("q")).alias("s")
+    ).collect()
+    vals = [r.s for r in guarded]
+    assert vals.count(None) == 2 and 2.0 in vals
+    assert not any(v is not None and v != v for v in vals)  # no NaN
+
+
 def test_frame_sampler_null_and_empty_payload():
     """mapInPandas frame sampling: NULL payload → all-NULL row; empty
     payload → zero frames with NULL checksum (DuckDB list_sum([]) is

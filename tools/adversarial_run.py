@@ -105,6 +105,109 @@ ADVERSARIAL_EVENTS = [
     (100017, "2024-01-02 23:59:59.999999", 8, "click", 4.0, '{"k": 12}'),     # day-boundary micros
 ]
 
+# ---------------------------------------------------------------------------
+# Part 3: adversarial TPC-H fact rows. A real warehouse feed carries NULL
+# dimensions from failed enrichment, dangling foreign keys, case-variant and
+# unicode categorical values, LIKE-hostile pattern metacharacters, boundary /
+# epoch / far-future dates, exact ties on window sort keys, and full-row
+# duplicates. region/nation stay CLEAN by contract — they are constant
+# validated dimension tables (5/25 rows), not feeds. Primary keys stay unique
+# and non-NULL (upstream assigns them); FK columns are fair game.
+#
+# Money/quantity hazards are bounded by the same kind of domain contract the
+# embedding family got in part 1: |money| <= 1e7, quantity <= 1e6. The
+# comparator's 2-decimal rounded double sums need ~10 significant digits at
+# that scale (double carries ~15-16), so order-of-summation ulp noise cannot
+# flip a rounding; an unbounded 1e300 would — exactness needs a bounded
+# domain, stated and enforced, not silently assumed.
+# ---------------------------------------------------------------------------
+ADVERSARIAL_CUSTOMERS = [
+    # (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+    (100000, None, 3, 100.0, "BUILDING"),          # NULL name
+    (100001, "", 3, 100.0, "BUILDING"),            # empty name
+    (100002, "Çüstömer 顧客", 3, 50.0, "BUILDING"),  # unicode name
+    (100003, "cust-null-bal", 3, None, "BUILDING"),   # NULL acctbal
+    (100004, "cust-neg-bal", 3, -999.99, "BUILDING"),  # negative acctbal
+    (100005, "cust-zero-bal", 3, 0.0, "BUILDING"),     # zero acctbal
+    (100006, "cust-big-bal", 3, 9.9e6, "AUTOMOBILE"),  # huge-but-bounded
+    (100007, "cust-null-seg", 3, 10.0, None),      # NULL segment (group key)
+    (100008, "cust-empty-seg", 3, 10.0, ""),       # empty segment
+    (100009, "cust-case-seg", 3, 10.0, "building"),  # case variant
+    (100010, "cust-null-nation", None, 10.0, "BUILDING"),   # NULL FK
+    (100011, "cust-dangling-nation", 999, 10.0, "BUILDING"),  # dangling FK
+]
+
+ADVERSARIAL_ORDERS = [
+    # (o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+    #  o_orderpriority)
+    (1000000, None, "O", 100.0, "1995-06-01 00:00:00", "1-URGENT"),       # NULL custkey
+    (1000001, 99999999, "O", 100.0, "1995-06-01 00:00:00", "1-URGENT"),   # dangling custkey
+    (1000002, 100000, "O", None, "1995-06-01 00:00:00", "1-URGENT"),      # NULL totalprice (window sort key)
+    (1000003, 100000, "O", -500.0, "1995-06-02 00:00:00", "2-HIGH"),      # negative price
+    (1000004, 100000, "O", 0.0, "1995-06-03 00:00:00", "3-MEDIUM"),       # zero price
+    (1000005, 100001, "O", 123.45, "1995-06-04 00:00:00", None),          # NULL priority (group key)
+    (1000006, 100001, "O", 123.45, "1995-06-04 00:00:00", ""),            # empty priority
+    (1000007, 100001, "O", 123.45, "1995-06-04 00:00:00", "9-急"),         # unicode priority
+    (1000008, 100002, None, 50.0, "1995-06-05 00:00:00", "1-URGENT"),     # NULL status
+    (1000009, 100002, "O", 50.0, None, "1-URGENT"),                       # NULL orderdate (range filter + ASC sort key)
+    (1000010, 100002, "O", 50.0, "1970-01-01 00:00:00", "1-URGENT"),      # epoch date
+    (1000011, 100002, "O", 50.0, "9999-12-31 00:00:00", "1-URGENT"),      # far-future date
+    (1000012, 1, "O", 777.77, "1995-07-01 00:00:00", "5-LOW"),            # exact tie pair on a
+    (1000013, 1, "O", 777.77, "1995-07-01 00:00:00", "5-LOW"),            #   clean customer
+    (1000014, 1, "O", 9.9e6, "1995-07-02 00:00:00", "5-LOW"),             # huge-but-bounded price
+]
+
+ADVERSARIAL_LINEITEMS = [
+    # (l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+    #  l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+    #  l_shipdate)
+    (1000000, 1, 1, 1, None, 100.0, 0.05, 0.02, "N", "O", "1995-06-10 00:00:00"),   # NULL quantity
+    (1000000, 1, 1, 2, -5.0, 100.0, 0.05, 0.02, "N", "O", "1995-06-10 00:00:00"),   # negative quantity
+    (1000000, 1, 1, 3, 0.0, 100.0, 0.05, 0.02, "N", "O", "1995-06-10 00:00:00"),    # zero quantity
+    (1000000, 1, 1, 4, 1e6, 9.9e6, 0.05, 0.02, "N", "O", "1995-06-10 00:00:00"),    # huge-but-bounded
+    (1000001, 1, 1, 1, 10.0, None, 0.05, 0.02, "N", "O", "1995-06-11 00:00:00"),    # NULL price
+    (1000001, 1, 1, 2, 10.0, 100.0, None, 0.02, "N", "O", "1995-06-11 00:00:00"),   # NULL discount
+    (1000001, 1, 1, 3, 10.0, 100.0, 1.0, 0.02, "N", "O", "1995-06-11 00:00:00"),    # discount=1 → zero revenue
+    (1000001, 1, 1, 4, 10.0, 100.0, 1.5, 0.02, "N", "O", "1995-06-11 00:00:00"),    # discount>1 → negative revenue
+    (1000002, 1, 1, 1, 10.0, 100.0, 0.05, None, "N", "O", "1995-06-12 00:00:00"),   # NULL tax
+    (1000002, 1, 1, 2, 10.0, 100.0, 0.05, 0.02, None, "O", "1995-06-12 00:00:00"),  # NULL returnflag (group key)
+    (1000002, 1, 1, 3, 10.0, 100.0, 0.05, 0.02, "", "O", "1995-06-12 00:00:00"),    # empty returnflag
+    (1000002, 1, 1, 4, 10.0, 100.0, 0.05, 0.02, "Ř", "Ø", "1995-06-12 00:00:00"),   # unicode flag/status
+    (1000003, 1, 1, 1, 10.0, 100.0, 0.05, 0.02, "N", None, "1995-06-13 00:00:00"),  # NULL linestatus
+    (1000003, 1, 1, 2, 10.0, 100.0, 0.05, 0.02, "N", "O", None),                    # NULL shipdate (ASC sort key)
+    (1000003, 1, 1, 3, 10.0, 100.0, 0.05, 0.02, "N", "O", "1970-01-01 00:00:00"),   # epoch shipdate
+    (1000003, 1, 1, 4, 10.0, 100.0, 0.05, 0.02, "N", "O", "9999-12-31 00:00:00"),   # far-future shipdate
+    (1000004, None, 1, 1, 10.0, 100.0, 0.05, 0.02, "N", "O", "1995-06-14 00:00:00"),       # NULL partkey
+    (1000004, 99999999, 1, 2, 10.0, 100.0, 0.05, 0.02, "N", "O", "1995-06-14 00:00:00"),   # dangling partkey
+    (1000004, 1, None, 3, 10.0, 100.0, 0.05, 0.02, "N", "O", "1995-06-14 00:00:00"),       # NULL suppkey
+    (1000004, 1, 99999, 4, 10.0, 100.0, 0.05, 0.02, "N", "O", "1995-06-14 00:00:00"),      # dangling suppkey
+    (1, 2, 1, 99, 7.0, 70.0, 0.03, 0.01, "A", "F", "1994-01-01 00:00:00"),   # full-row duplicate
+    (1, 2, 1, 99, 7.0, 70.0, 0.03, 0.01, "A", "F", "1994-01-01 00:00:00"),   #   pair (distinct stress)
+]
+
+ADVERSARIAL_PARTS = [
+    # (p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+    (100000, None, "Brand#13", "STANDARD ANODIZED", 10, 100.0),      # NULL name (LIKE filters)
+    (100001, "", "Brand#13", "STANDARD ANODIZED", 10, 100.0),        # empty name
+    (100002, "bright red metallic", "Brand#13", "STANDARD", 10, 100.0),  # matches %red%
+    (100003, "infrared sensor", "Brand#13", "STANDARD", 10, 100.0),      # 'red' inside a word
+    (100004, "r%ed_percent[lit]", "Brand#13", "STANDARD", 10, 100.0),    # metachars; must NOT match %red%
+    (100005, "small anchor", "Brand#13", "STANDARD", 10, 100.0),         # matches small%
+    (100006, "smallish 小 part", "Brand#13", "STANDARD", 10, 100.0),      # unicode + small% prefix
+    (100007, "red小%part", None, None, None, None),                   # NULL brand/type/size/price
+    (100008, "negative size", "Brand#99", "", -5, -10.0),            # empty type, negative size/price
+    (100009, "huge size", "Brand#99", "PROMO BRUSHED", 2147483647, 9.9e6),  # max-int size, PROMO% type
+]
+
+ADVERSARIAL_SUPPLIERS = [
+    # (s_suppkey, s_name, s_nationkey, s_acctbal)
+    (100, None, 3, 100.0),                  # NULL name
+    (101, "Süpplier 供应商", 3, -50.0),      # unicode name, negative balance
+    (102, "supp-null-nation", None, 10.0),  # NULL FK
+    (103, "supp-dangling", 999, 10.0),      # dangling FK
+    (104, "supp-null-bal", 3, None),        # NULL acctbal
+]
+
 # Adversarial embeddings: vec_ids from 100000, 64-dim each.
 DIM = 64
 
@@ -123,11 +226,59 @@ def _adversarial_embeddings():
     return rows
 
 
+_TPCH_ADV = {
+    # table -> (DDL column list for the staging table, hazard rows)
+    "customer": (
+        "c_custkey BIGINT, c_name VARCHAR, c_nationkey INTEGER,"
+        " c_acctbal DOUBLE, c_mktsegment VARCHAR",
+        ADVERSARIAL_CUSTOMERS,
+    ),
+    "orders": (
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus VARCHAR,"
+        " o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority VARCHAR",
+        ADVERSARIAL_ORDERS,
+    ),
+    "lineitem": (
+        "l_orderkey BIGINT, l_partkey BIGINT, l_suppkey BIGINT,"
+        " l_linenumber INTEGER, l_quantity DOUBLE, l_extendedprice DOUBLE,"
+        " l_discount DOUBLE, l_tax DOUBLE, l_returnflag VARCHAR,"
+        " l_linestatus VARCHAR, l_shipdate TIMESTAMP",
+        ADVERSARIAL_LINEITEMS,
+    ),
+    "part": (
+        "p_partkey BIGINT, p_name VARCHAR, p_brand VARCHAR, p_type VARCHAR,"
+        " p_size INTEGER, p_retailprice DOUBLE",
+        ADVERSARIAL_PARTS,
+    ),
+    "supplier": (
+        "s_suppkey BIGINT, s_name VARCHAR, s_nationkey INTEGER,"
+        " s_acctbal DOUBLE",
+        ADVERSARIAL_SUPPLIERS,
+    ),
+}
+
+
+def _append_rows(src: str, dst: str, ddl: str, rows: list) -> None:
+    """Write src ∪ hazard-rows to dst, preserving the parquet schema."""
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE adv ({ddl})")
+    ph = ", ".join("?" for _ in ddl.split(","))
+    con.executemany(f"INSERT INTO adv VALUES ({ph})", rows)
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{src}') UNION ALL SELECT * FROM adv)"
+        f" TO '{dst}' (FORMAT PARQUET)"
+    )
+    con.close()
+
+
 def build_corpus(docs_only: bool) -> str:
     out = scratch_dir("sqload_adversarial_")
     for t in TABLE_NAMES:
         src = f"{BASE}/{t}.parquet"
-        if t == "documents":
+        if t in _TPCH_ADV and not docs_only:
+            ddl, rows = _TPCH_ADV[t]
+            _append_rows(src, f"{out}/{t}.parquet", ddl, rows)
+        elif t == "documents":
             con = duckdb.connect()
             con.execute(
                 "CREATE TABLE adv (doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR)"
@@ -185,9 +336,11 @@ def main() -> int:
     if "--only" in sys.argv:
         only = [a for a in sys.argv[sys.argv.index("--only") + 1 :] if not a.startswith("--")]
     corpus = build_corpus(docs_only)
+    tpch_n = sum(len(rows) for _, rows in _TPCH_ADV.values())
     print(f"adversarial corpus: {corpus}  (docs +{len(ADVERSARIAL_DOCS)}"
           + ("" if docs_only else
-             f", embeddings +{len(_adversarial_embeddings())}, events +{len(ADVERSARIAL_EVENTS)}")
+             f", embeddings +{len(_adversarial_embeddings())}, events +{len(ADVERSARIAL_EVENTS)}"
+             f", tpch facts +{tpch_n}")
           + ")")
 
     from pyspark.sql import SparkSession
