@@ -103,24 +103,19 @@ def partitioned_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hive-style directory partitioning is NOT value-faithful for string
     keys (adversarial part 3): both NULL and '' land in
     __HIVE_DEFAULT_PARTITION__, so a round trip silently merges them —
-    one group vanished versus the oracle. The engine's bulk-load contract:
-    partition directories are named by an ESCAPED twin of the key
-    (NULL → '__null__', '' → '__empty__'; real values pass through and
-    must not collide with the sentinels), while the raw column rides in
-    the data files, so the read-back answers group-bys losslessly and a
-    pruning filter on flag F maps to part_flag = escape(F)."""
+    one group vanished versus the oracle. The sink owns the fix:
+    write_partitioned_parquet directory-names string keys by an escaped
+    twin (sinks.partition_escape — sentinel collisions raise at write
+    time) while the raw column rides in the data files, so the read-back
+    answers group-bys losslessly and a pruning filter on flag F maps to
+    __part_l_returnflag = escape(F)."""
     li = load_table(spark, sf_dir, "lineitem")
     path = os.path.join(_SCRATCH, "lineitem_load")
-    escaped = (
-        F.when(F.col("l_returnflag").isNull(), "__null__")
-        .when(F.col("l_returnflag") == "", "__empty__")
-        .otherwise(F.col("l_returnflag"))
-    )
     write_partitioned_parquet(
-        li.withColumn("part_flag", escaped),
+        li,
         path,
         range_key="l_orderkey",
-        partition_by=["part_flag"],
+        partition_by=["l_returnflag"],
     )
     back = spark.read.parquet(path)
     return (

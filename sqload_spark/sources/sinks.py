@@ -17,7 +17,36 @@ equivalents:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+#: Directory-name sentinels for string partition keys. Hive-style layout
+#: collapses both NULL and '' into __HIVE_DEFAULT_PARTITION__, silently
+#: merging two distinct groups on read-back; partitioning on an escaped twin
+#: instead (while the raw column rides in the data files) keeps the round
+#: trip lossless. A pruning filter on value F maps to escape(F).
+PARTITION_NULL_SENTINEL = "__null__"
+PARTITION_EMPTY_SENTINEL = "__empty__"
+
+
+def partition_escape(col: str | Column) -> Column:
+    """Escaped twin of a string partition key: NULL → '__null__',
+    '' → '__empty__', real values pass through. Real values MUST NOT
+    collide with the sentinels — enforced here with raise_error, so the
+    contract is checked at write time rather than assumed in a comment."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.when(
+            c.isin(PARTITION_NULL_SENTINEL, PARTITION_EMPTY_SENTINEL),
+            F.raise_error(
+                F.concat(F.lit("partition key collides with escape sentinel: "), c)
+            ),
+        )
+        .when(c.isNull(), PARTITION_NULL_SENTINEL)
+        .when(c == "", PARTITION_EMPTY_SENTINEL)
+        .otherwise(c)
+    )
 
 
 def write_reference_csv(df: DataFrame, path: str, num_files: int | None = None) -> None:
@@ -45,14 +74,29 @@ def write_partitioned_parquet(
     """Bulk-load shape: balanced range partitions on the load key so each
     output file covers a disjoint, sorted key range (what a partitioned DB
     bulk loader wants), plus optional hive-style directory partitioning for
-    partition-pruned reads."""
+    partition-pruned reads.
+
+    String partition keys are directory-named by their escaped twin
+    (``__part_<col>`` = :func:`partition_escape`) while the raw column rides
+    in the data files: hive layout collapses NULL and '' into
+    __HIVE_DEFAULT_PARTITION__, so partitioning on the raw key silently
+    merges those two groups on read-back. Non-string keys are unaffected
+    (only NULL maps to the default directory, which round-trips)."""
     out = df
     if range_key is not None:
         n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
         out = df.repartitionByRange(n, range_key).sortWithinPartitions(range_key)
+    part_dirs: list[str] = []
+    for c in partition_by or []:
+        if isinstance(out.schema[c].dataType, StringType):
+            twin = f"__part_{c}"
+            out = out.withColumn(twin, partition_escape(c))
+            part_dirs.append(twin)
+        else:
+            part_dirs.append(c)
     writer = out.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
+    if part_dirs:
+        writer = writer.partitionBy(*part_dirs)
     writer.parquet(path)
 
 

@@ -171,24 +171,43 @@ def test_aggregate_rejoin_keeps_null_group(spark):
 
 def test_partition_escape_roundtrips_null_and_empty(spark, tmp_path):
     """Hive-style directory partitioning collapses NULL and '' into
-    __HIVE_DEFAULT_PARTITION__; the escaped-twin contract (partition on
-    escape(key), keep the raw column as data) round-trips both."""
+    __HIVE_DEFAULT_PARTITION__; the sink's escaped-twin contract
+    (directory-partition on escape(key), keep the raw column as data)
+    round-trips both — implemented IN write_partitioned_parquet so every
+    bulk load gets it, not one call site."""
+    from sqload_spark.sources.sinks import write_partitioned_parquet
+
     df = spark.createDataFrame(
         [(1, "A"), (2, None), (3, ""), (4, "A")], "id bigint, flag string"
     )
-    escaped = (
-        F.when(F.col("flag").isNull(), "__null__")
-        .when(F.col("flag") == "", "__empty__")
-        .otherwise(F.col("flag"))
-    )
     path = str(tmp_path / "esc")
-    df.withColumn("pk", escaped).write.partitionBy("pk").parquet(path)
+    write_partitioned_parquet(df, path, partition_by=["flag"])
     back = spark.read.parquet(path)
     groups = {
         (r.flag if r.flag is not None else "<null>"): r.n
         for r in back.groupBy("flag").agg(F.count("*").alias("n")).collect()
     }
     assert groups == {"A": 2, "<null>": 1, "": 1}
+
+
+def test_partition_escape_sentinel_collision_raises(spark, tmp_path):
+    """The escape contract's precondition — real values must not collide
+    with the sentinels — is ENFORCED at write time, not assumed: a feed row
+    whose key is literally '__null__' would otherwise silently share a
+    directory with the genuinely-NULL rows."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from sqload_spark.sources.sinks import write_partitioned_parquet
+
+    df = spark.createDataFrame(
+        [(1, "A"), (2, "__null__")], "id bigint, flag string"
+    )
+    with pytest.raises((Py4JJavaError, SparkRuntimeException), match="collides"):
+        write_partitioned_parquet(
+            df, str(tmp_path / "collide"), partition_by=["flag"]
+        )
 
 
 def test_jdbc_null_string_survives_derby_roundtrip(spark, tmp_path):

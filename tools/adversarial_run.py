@@ -262,7 +262,7 @@ def _append_rows(src: str, dst: str, ddl: str, rows: list) -> None:
     """Write src ∪ hazard-rows to dst, preserving the parquet schema."""
     con = duckdb.connect()
     con.execute(f"CREATE TABLE adv ({ddl})")
-    ph = ", ".join("?" for _ in ddl.split(","))
+    ph = ", ".join("?" for _ in rows[0])
     con.executemany(f"INSERT INTO adv VALUES ({ph})", rows)
     con.execute(
         f"COPY (SELECT * FROM read_parquet('{src}') UNION ALL SELECT * FROM adv)"
@@ -271,8 +271,17 @@ def _append_rows(src: str, dst: str, ddl: str, rows: list) -> None:
     con.close()
 
 
-def build_corpus(docs_only: bool) -> str:
-    out = scratch_dir("sqload_adversarial_")
+def build_corpus(docs_only: bool, keep: bool = False) -> str:
+    # --keep must bypass scratch_dir: its atexit rmtree would delete the
+    # corpus at process exit, exactly when a follow-up run (e.g.
+    # tools/invariance_run.py <corpus> for dirty-data × geometry evidence)
+    # wants to read it.
+    if keep:
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="sqload_adversarial_keep_")
+    else:
+        out = scratch_dir("sqload_adversarial_")
     for t in TABLE_NAMES:
         src = f"{BASE}/{t}.parquet"
         if t in _TPCH_ADV and not docs_only:
@@ -335,7 +344,7 @@ def main() -> int:
     only: list[str] = []
     if "--only" in sys.argv:
         only = [a for a in sys.argv[sys.argv.index("--only") + 1 :] if not a.startswith("--")]
-    corpus = build_corpus(docs_only)
+    corpus = build_corpus(docs_only, keep="--keep" in sys.argv)
     tpch_n = sum(len(rows) for _, rows in _TPCH_ADV.values())
     print(f"adversarial corpus: {corpus}  (docs +{len(ADVERSARIAL_DOCS)}"
           + ("" if docs_only else
