@@ -681,7 +681,41 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 10× bar.
 PRUNED_COSINE_THRESHOLD = 0.8
 PRUNED_N_PLANES = 160
-PRUNED_BITS_PER_BAND = 8
+PRUNED_BITS_PER_BAND = 8  # base width; _pruned_bits_for widens it with n
+
+
+def _pruned_bits_for(n_vectors: int) -> int:
+    """Band width scaled to corpus size — the measured scaling rule from
+    BASELINE.md's round-6 banded-cosine curve, in code instead of a comment.
+
+    Random 8-bit band values collide at ~2⁻⁸, so BACKGROUND candidates grow
+    as bands·n²/2⁹ regardless of how well the bands separate true pairs:
+    measured 14 s at 21 K vectors but 238 s at 63 K (≈150 M background
+    candidates). Widening bands cuts the collision floor 2⁴× per +4 bits at
+    a recall cost concentrated on threshold-ADJACENT pairs (P(band) =
+    (1-θ/π)^bits), which is the standard LSH trade: near-verbatim dups
+    (cos ≈ 0.998, the dedup target) keep recall ≈ 1 at every width here —
+    miss probability (1-0.98^16)^10 ≈ 3e-6 even at 16 bits — while a
+    hypothetical cos-0.80 pair's recall decays, exactly as production
+    MinHash/SimHash configs accept. Thresholds chosen so the background
+    floor stays ≈ O(10 M) candidates: 8 bits to 20 K vectors (the measured
+    fine zone), 12 to 80 K (63 K → ~6 M), 16 beyond. Leftover planes that
+    don't fill a whole band are dropped (a partial band's narrow width
+    would collide at 2^-leftover and reintroduce the floor).
+
+    Measured at 63 K vectors (BASELINE.md round-6 scale table): 8-bit
+    bands = recall 1.0 at 238 s; 12-bit = recall 0.9907 at 11.1 s (the
+    28/3 000 lost pairs are the cos-0.90-0.93 tail of the planted set,
+    deterministic and reproducible). Buying that tail back at 12 bits
+    costs band COUNT, not width — a 1e-3 miss target at cos 0.90 needs
+    ~41 bands (492 planes, ~3× the map-side signature work) — which is
+    the dial a deployment turns when its dup distribution, unlike this
+    fixture's, has mass near the threshold."""
+    if n_vectors <= 20_000:
+        return PRUNED_BITS_PER_BAND
+    if n_vectors <= 80_000:
+        return 12
+    return 16
 
 _PRUNED_CORPUS_SQL = f"""
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {_EMB} AS embeddings),
@@ -719,26 +753,31 @@ def _pruned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pruned_candidates(corpus: DataFrame) -> DataFrame:
     """Hyperplane-banded candidate mining at the high-threshold tuning:
-    8-bit band values (vs 2-bit in the low-threshold query) collide for
-    random pairs with prob 2⁻⁸ per band — this is where the pruning power
-    comes from. Same plan shape as dedup_embedding_cosine_banded: map-side
-    signatures against broadcast planes, band-equality self-join, distinct."""
+    wide band values (8-16 bits, vs 2-bit in the low-threshold query)
+    collide for random pairs with prob 2⁻ᵇⁱᵗˢ per band — this is where the
+    pruning power comes from, and the width scales with the corpus
+    (_pruned_bits_for; the one count() action is a cheap scan next to the
+    n²/2^bits it controls). Same plan shape as
+    dedup_embedding_cosine_banded: map-side signatures against broadcast
+    planes, band-equality self-join, distinct."""
     from sqload_spark.functions.vectors import dot
 
     rng = __import__("numpy").random.RandomState(41)
     spark = corpus.sparkSession
+    bits = _pruned_bits_for(corpus.count())
+    n_planes = (PRUNED_N_PLANES // bits) * bits  # drop partial-band planes
     planes = spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(rng.randn(PRUNED_N_PLANES, 64))],
+        [(i, [float(x) for x in row]) for i, row in enumerate(rng.randn(PRUNED_N_PLANES, 64)) if i < n_planes],
         "plane int, p array<double>",
     )
     band_rows = (
         corpus.join(F.broadcast(planes))
         .select(
             "vec_id",
-            (F.col("plane") / PRUNED_BITS_PER_BAND).cast("int").alias("band"),
+            (F.col("plane") / bits).cast("int").alias("band"),
             (
                 F.when(dot(F.col("v"), F.col("p")) > 0, 1).otherwise(0)
-                * F.expr(f"shiftleft(1, plane % {PRUNED_BITS_PER_BAND})")
+                * F.expr(f"shiftleft(1, plane % {bits})")
             ).alias("bit"),
         )
         .groupBy("vec_id", "band")

@@ -159,6 +159,28 @@ def test_pruned_banded_cosine_shrink_and_recall(spark, duck):
     )
 
 
+def test_pruned_band_width_scales_with_corpus():
+    """The banded-cosine collision floor is bands·n²/2^bits (BASELINE.md
+    round-6 curve: 8-bit bands fine at 21 K vectors, 238 s at 63 K), so the
+    band width must widen with the corpus, whole bands only (a partial
+    band's narrow width collides at 2^-leftover and reintroduces the
+    floor), and near-verbatim dups (cos ≈ 0.998) must keep recall ≈ 1 at
+    every width."""
+    from sqload_spark.operators.dedup import PRUNED_N_PLANES, _pruned_bits_for
+
+    assert _pruned_bits_for(210) == 8       # sf0.01 driver corpus
+    assert _pruned_bits_for(20_000) == 8    # measured fine zone
+    assert _pruned_bits_for(63_000) == 12   # measured 238 s knee
+    assert _pruned_bits_for(500_000) == 16
+    for n in (210, 63_000, 500_000):
+        bits = _pruned_bits_for(n)
+        n_planes = (PRUNED_N_PLANES // bits) * bits
+        assert n_planes % bits == 0 and n_planes <= PRUNED_N_PLANES
+        # planted-dup recall law: P(miss every band) stays negligible
+        p_band = 0.98 ** bits  # P(bit agrees) ≈ 1 - θ/π ≈ 0.98 at cos 0.998
+        assert (1 - p_band) ** (n_planes // bits) < 1e-5
+
+
 def test_contamination_flags_benchmark_members(spark):
     """Every doc the in-query benchmark was built FROM must itself be
     flagged (its leading 5-gram is in the bench set by construction), so
