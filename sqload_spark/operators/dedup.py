@@ -697,25 +697,25 @@ def _pruned_bits_for(n_vectors: int) -> int:
     (cos ≈ 0.998, the dedup target) keep recall ≈ 1 at every width here —
     miss probability (1-0.98^16)^10 ≈ 3e-6 even at 16 bits — while a
     hypothetical cos-0.80 pair's recall decays, exactly as production
-    MinHash/SimHash configs accept. Thresholds chosen so the background
-    floor stays ≈ O(10 M) candidates: 8 bits to 20 K vectors (the measured
-    fine zone), 12 to 80 K (63 K → ~6 M), 16 beyond. Leftover planes that
-    don't fill a whole band are dropped (a partial band's narrow width
-    would collide at 2^-leftover and reintroduce the floor).
+    MinHash/SimHash configs accept. Leftover planes that don't fill a
+    whole band are dropped (a partial band's narrow width would collide
+    at 2^-leftover and reintroduce the floor).
 
-    Measured at 63 K vectors (BASELINE.md round-6 scale table): 8-bit
-    bands = recall 1.0 at 238 s; 12-bit = recall 0.9907 at 11.1 s (the
-    28/3 000 lost pairs are the cos-0.90-0.93 tail of the planted set,
-    deterministic and reproducible). Buying that tail back at 12 bits
-    costs band COUNT, not width — a 1e-3 miss target at cos 0.90 needs
-    ~41 bands (492 planes, ~3× the map-side signature work) — which is
-    the dial a deployment turns when its dup distribution, unlike this
-    fixture's, has mass near the threshold."""
+    Both tiers are MEASURED, and so is the tier this function refuses to
+    ship (BASELINE.md round-6 scale tables). At 63 K vectors: 8-bit =
+    recall 1.0 at 238 s; 12-bit = recall 0.9907 at 11.1 s (the lost pairs
+    are the cos-0.90-0.93 tail of the planted set, deterministic). At
+    105 K vectors: 12-bit = recall 0.990 at 80 s; a 16-bit tier at the
+    same 160-plane budget measured recall 0.929 at 7.7 s — too much
+    recall for too little honesty, so width caps at 12. Past ~10⁵·10⁶
+    vectors the dial is band COUNT, not width: recall at width b and
+    pair-angle θ is 1-(1-(1-θ/π)^b)^bands, so a 1e-2 miss target at
+    cos 0.90 with 16-bit bands needs ~53 bands (848 planes, ~5× the
+    map-side signature work, floor 4× under 12-bit) — stated here so a
+    deployment with a known dup distribution can turn it."""
     if n_vectors <= 20_000:
         return PRUNED_BITS_PER_BAND
-    if n_vectors <= 80_000:
-        return 12
-    return 16
+    return 12
 
 _PRUNED_CORPUS_SQL = f"""
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {_EMB} AS embeddings),
