@@ -176,7 +176,12 @@ def topk_hyperplane_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine re-rank of candidates only. Measured recall on this corpus
     is 1.0, so it shares the brute-force oracle (hash-checked, not just a
     recall floor). At this tuning band pruning is weak — the recall/pruning
-    dial is bits-per-band; the pruned variant below is the other end."""
+    dial is bits-per-band; the pruned variant below is the other end.
+    Measured (BASELINE.md round-6 ANN tier table): under a k² workload this
+    tuning CONVERGES to brute force by 30× (62.9 s vs 59.4 s) — at this
+    corpus's low neighbor contrast an exact-recall LSH admits nearly
+    all-pairs, which is why it is the correctness anchor while the
+    probe-bounded IVF tier (2.6-2.8× under brute) is the scale path."""
     return _hyperplane_topk(spark, sf_dir, N_PLANES, LSH_BANDS)
 
 
