@@ -54,18 +54,27 @@ def _agg_orders(df: DataFrame) -> DataFrame:
 @query("src_csv_roundtrip", oracle=_ORDERS_AGG_ORACLE)
 def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → CSV (ISO timestamps) → explicit-schema CSV scan → aggregate.
-    Proves the CSV source/sink pair preserves values exactly."""
+    Proves the CSV source/sink pair preserves values exactly.
+
+    NULL vs '' (adversarial part 4): a bare CSV field cannot carry the
+    difference — Spark's default options serialize both to an empty field
+    and read both back as NULL, silently merging two groups (the textual
+    twin of the hive-partition collapse). The engine's CSV round-trip
+    contract is an explicit null token: NULL → \\N, '' → \"\" (quoted),
+    symmetric on write and read."""
     od = load_table(spark, sf_dir, "orders")
     path = os.path.join(_SCRATCH, "orders_csv")
     (
         od.write.mode("overwrite")
         .option("header", "true")
+        .option("nullValue", "\\N")
         .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
         .csv(path)
     )
     back = (
         spark.read.schema(ORDERS_SCHEMA)
         .option("header", "true")
+        .option("nullValue", "\\N")
         .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
         .csv(path)
     )
@@ -212,8 +221,11 @@ def partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     query on the original table) proves pruning loses nothing."""
     od = load_table(spark, sf_dir, "orders")
     path = os.path.join(_SCRATCH, "orders_pruned")
-    od.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
-    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    # through the sink so the string partition key gets its escaped twin
+    # (NULL/'' directory collapse, see write_partitioned_parquet); the
+    # pruning filter targets the twin DIRECTORY column — escape('F') = 'F'
+    write_partitioned_parquet(od, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path).filter(F.col("__part_o_orderstatus") == "F")
     return (
         back.groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"), round_half_up(F.sum("o_totalprice"), 2).alias("total"))
@@ -508,7 +520,13 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
     path = os.path.join(_SCRATCH, "orders_dyn")
-    od.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    # both writes go through the sink: partitioning on the raw string key
+    # would collapse NULL and '' statuses into __HIVE_DEFAULT_PARTITION__
+    # and the read-back group-by would merge them (the adversarial-corpus
+    # '' status row caught exactly this); the escaped twin keeps the raw
+    # column in the data files, and dynamic overwrite restates only the
+    # twin directories present in the batch ('F' → '__part_…=F')
+    write_partitioned_parquet(od, path, partition_by=["o_orderstatus"])
     restated = (
         od.filter(F.col("o_orderstatus") == "F")
         .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
@@ -516,7 +534,7 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        restated.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+        write_partitioned_parquet(restated, path, partition_by=["o_orderstatus"])
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
     back = spark.read.parquet(path)

@@ -406,8 +406,6 @@ def window_ntile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the engine's window NULL-ordering contract): a NULL balance bands
     into the top quartile in both engines instead of the bottom one in
     Spark only."""
-    from pyspark.sql import Window as W
-
     cu = load_table(spark, sf_dir, "customer")
     na = load_table(spark, sf_dir, "nation")
     w = W.partitionBy("n_nationkey").orderBy(F.asc_nulls_last("c_acctbal"), "c_custkey")

@@ -148,10 +148,21 @@ def test_duckdb_default_null_order_is_last():
     oracle does."""
     import duckdb
 
-    rows = duckdb.connect().execute(
+    con = duckdb.connect()
+    rows = con.execute(
         "SELECT v FROM (VALUES (2), (NULL), (1)) t(v) ORDER BY v"
     ).fetchall()
     assert [r[0] for r in rows] == [1, 2, None]
+    # the DESC half of the contract: the code relies on 'DESC keys already
+    # agree' (both engines default NULLS LAST on descending sorts, where
+    # Spark's default is desc_nulls_last too), so pin it — a DuckDB move to
+    # the Postgres-style relative default (NULLS FIRST on DESC) would
+    # silently diverge every DESC window tie-break over a nullable key
+    # while the ASC canary above still passed
+    rows = con.execute(
+        "SELECT v FROM (VALUES (2), (NULL), (1)) t(v) ORDER BY v DESC"
+    ).fetchall()
+    assert [r[0] for r in rows] == [2, 1, None]
 
 
 def test_aggregate_rejoin_keeps_null_group(spark):
@@ -208,6 +219,28 @@ def test_partition_escape_sentinel_collision_raises(spark, tmp_path):
         write_partitioned_parquet(
             df, str(tmp_path / "collide"), partition_by=["flag"]
         )
+
+
+def test_csv_null_token_roundtrips_null_and_empty(spark, tmp_path):
+    """A bare CSV field cannot carry NULL-vs-'' — Spark's default options
+    write both as an empty field and read both back as NULL (the textual
+    twin of the hive-partition collapse, caught by the extended dirty
+    corpus's '' o_orderstatus row). The engine's CSV round-trip contract:
+    an explicit null token (NULL → \\N, '' → quoted \"\"), symmetric on
+    write and read."""
+    df = spark.createDataFrame(
+        [(1, "O"), (2, None), (3, ""), (4, "O")], "id bigint, s string"
+    )
+    path = str(tmp_path / "csv_null")
+    df.write.option("header", "true").option("nullValue", "\\N").csv(path)
+    back = spark.read.schema("id bigint, s string").option("header", "true").option(
+        "nullValue", "\\N"
+    ).csv(path)
+    groups = {
+        ("<null>" if r.s is None else r.s): r.n
+        for r in back.groupBy("s").agg(F.count("*").alias("n")).collect()
+    }
+    assert groups == {"O": 2, "<null>": 1, "": 1}
 
 
 def test_jdbc_null_string_survives_derby_roundtrip(spark, tmp_path):

@@ -119,13 +119,17 @@ def test_partition_pruning_reads_one_partition(spark):
     from sqload_spark.operators.etl import _SCRATCH
     from sqload_spark.sources.tables import load_table
 
+    from sqload_spark.sources.sinks import write_partitioned_parquet
+
     od = load_table(spark, SF_DIR, "orders")
     path = os.path.join(_SCRATCH, "orders_pruned_plan")
-    od.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
-    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    # the production path: sink writes the escaped-twin directory column,
+    # the pruning filter targets the twin (escape('F') = 'F')
+    write_partitioned_parquet(od, path, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(path).filter(F.col("__part_o_orderstatus") == "F")
     plan = plan_of(spark, back.groupBy("o_orderpriority").count())
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
-    assert m and "o_orderstatus" in m.group(1), "partition filter not applied at scan"
+    assert m and "__part_o_orderstatus" in m.group(1), "partition filter not applied at scan"
 
 
 def test_knn_graph_never_builds_n_squared(spark):

@@ -155,6 +155,15 @@ ADVERSARIAL_ORDERS = [
     (1000012, 1, "O", 777.77, "1995-07-01 00:00:00", "5-LOW"),            # exact tie pair on a
     (1000013, 1, "O", 777.77, "1995-07-01 00:00:00", "5-LOW"),            #   clean customer
     (1000014, 1, "O", 9.9e6, "1995-07-02 00:00:00", "5-LOW"),             # huge-but-bounded price
+    # -- hazards INSIDE the query filter ranges (post-commit review: the
+    # NULL-date/price rows above carry custkeys 100000+, which every
+    # windowed orders query filters out (o_custkey <= 50/100/300), so the
+    # NULLS-LAST fixes were never actually exercised by the dirty run.
+    # These low-custkey rows put a NULL sort key inside EVERY window. --
+    (1000015, 7, "O", None, "1995-08-01 00:00:00", "1-URGENT"),           # NULL totalprice, custkey<=50
+    (1000016, 7, "O", 55.5, None, "2-HIGH"),                              # NULL orderdate, custkey<=50
+    (1000017, 7, "", 66.6, "1995-08-02 00:00:00", "3-MEDIUM"),            # EMPTY status, custkey<=50 (hive collapse)
+    (1000018, 8, "O", 77.7, "1995-08-03 00:00:00", None),                 # NULL priority (window partition key), custkey<=50
 ]
 
 ADVERSARIAL_LINEITEMS = [
