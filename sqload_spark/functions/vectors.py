@@ -55,19 +55,35 @@ EMB_MAX_ABS = 1e6
 
 def valid_embedding(v: Column) -> Column:
     """Contract predicate over a raw ``array<float>`` column. NULL input
-    yields NULL (row dropped by ``filter``), NaN/inf fail the bound check
-    (comparisons with NaN are false in both engines)."""
+    yields NULL (row dropped by ``filter``). NaN is excluded by the
+    EXPLICIT ``isnan`` conjunct below — not by the magnitude bound: Spark
+    orders NaN GREATER than every number (``NaN > 0`` is TRUE), so without
+    the guard, NaN exclusion would ride on ``abs(NaN) <= EMB_MAX_ABS``
+    happening to evaluate false, and a relaxed or reordered bound check
+    could silently admit NaN vectors. DuckDB also sorts NaN above all
+    numbers, so its oracle-side max-bound check rejects NaN the same way;
+    inf fails the bound check in both engines."""
     dv = to_double_array(v)
-    return (dot(dv, dv) > 0) & F.forall(dv, lambda x: F.abs(x) <= F.lit(EMB_MAX_ABS))
+    return (
+        (dot(dv, dv) > 0)
+        & F.forall(dv, lambda x: ~F.isnan(x))
+        & F.forall(dv, lambda x: F.abs(x) <= F.lit(EMB_MAX_ABS))
+    )
 
 
 # Same predicate for DuckDB oracles, over the raw `embedding` column. The
 # leading IS NOT NULL must stay FIRST: DuckDB's list_dot_product raises on
 # a NULL list when it is the first conjunct evaluated over a parquet scan
 # (the AND mask shields it), while Spark's filter simply drops the NULL.
+# The bound literal is interpolated from EMB_MAX_ABS so the Spark predicate
+# and every DuckDB oracle share ONE constant (a hardcoded twin would let an
+# edit to the Python constant silently desynchronize all oracles). NaN is
+# rejected by the max-bound conjunct here (DuckDB sorts NaN above all
+# numbers, so the list max of a NaN-bearing vector is NaN and NaN <= bound
+# is false) — mirroring the Spark side's explicit isnan guard.
 EMB_VALID_SQL = (
     "(embedding IS NOT NULL"
     " AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0"
     " AND list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max')"
-    " <= 1000000.0)"
+    f" <= {EMB_MAX_ABS!r})"
 )

@@ -215,9 +215,13 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "shard")
         .agg(F.hll_sketch_agg("l_orderkey", F.lit(12)).alias("sk"))
     )
+    # count("shard"), not count("*"): a NULL l_orderkey hashes to a NULL
+    # shard, and the oracle's count(DISTINCT shard_expr) ignores NULL —
+    # count("*") over the per-shard groups would count the NULL-shard group
+    # and drift off by one on any corpus with NULL keys (ADVICE r6).
     merged = partials.groupBy("l_returnflag").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate"),
-        F.count("*").alias("n_shards"),
+        F.count("shard").alias("n_shards"),
     )
     direct = li.groupBy("l_returnflag").agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey", F.lit(12))).alias("direct_estimate"),

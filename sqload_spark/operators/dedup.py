@@ -476,29 +476,26 @@ def pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this converts ≥6 corpus-scale mining passes into one pass plus
     cheap pair-table scans.
 
-    The artifact directory is keyed by pid + a hash of the FULL sf_dir
-    (two sf_dirs sharing a basename must not share a path — ADVICE r5) and
-    cleaned up by a once-per-path atexit hook rather than eagerly: the r6
-    self-review found the eager collect+rmtree variant replaced the
-    query's physical plan with a LocalTableScan of pre-collected rows,
-    making the mine-once/consume-many shape invisible to PLANS.md and
-    plan tests. Returning the LAZY consumer plan keeps it inspectable;
-    re-invocations overwrite the same path in place (the mine is
-    deterministic, so a previously returned DataFrame re-materialized
-    after an overwrite reads identical content). A SIGKILLed process
-    still leaks its directory — the unavoidable residue of any on-disk
-    artifact without an external janitor."""
-    import atexit
+    The artifact lives at session.scratch_subdir (VERDICT r6 #4: one code
+    path for all scratch artifacts), keyed by a hash of the FULL sf_dir
+    (two sf_dirs sharing a basename must not share a path — ADVICE r5)
+    under the process-wide scratch root, whose single exit hook cleans it
+    rather than an eager rmtree: the r6 self-review found the eager
+    collect+rmtree variant replaced the query's physical plan with a
+    LocalTableScan of pre-collected rows, making the
+    mine-once/consume-many shape invisible to PLANS.md and plan tests.
+    Returning the LAZY consumer plan keeps it inspectable; re-invocations
+    overwrite the same path in place (the mine is deterministic, so a
+    previously returned DataFrame re-materialized after an overwrite reads
+    identical content)."""
     import hashlib
     import os
-    import shutil
-    import tempfile
+
+    from sqload_spark.session import scratch_subdir
 
     docs = load_table(spark, sf_dir, "documents")
     sf_tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    path = os.path.join(
-        tempfile.gettempdir(), f"sqload_dedup_pairs_{os.getpid()}_{sf_tag}"
-    )
+    path = scratch_subdir(f"dedup_pairs_{sf_tag}")
     (
         _lsh_verified_pairs(docs)
         .filter(F.col("jaccard_raw") >= JACCARD_THRESHOLD)
@@ -526,15 +523,7 @@ def pairs_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum(F.col("doc_a") + F.col("doc_b")).cast("bigint").alias("checksum"),
     ).select(F.lit("pair_graph").alias("consumer"), "n_rows", "checksum")
-    if path not in _PAIR_ARTIFACT_PATHS:
-        _PAIR_ARTIFACT_PATHS.add(path)
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
     return c_census.union(c_keep).union(c_pairs).orderBy("consumer")
-
-
-# Artifact dirs with an atexit cleanup already registered (one hook per
-# path, however many times the query re-runs in a session).
-_PAIR_ARTIFACT_PATHS: set[str] = set()
 
 
 # ---------------------------------------------------------------------------
@@ -681,12 +670,36 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 10× bar.
 PRUNED_COSINE_THRESHOLD = 0.8
 PRUNED_N_PLANES = 160
-PRUNED_BITS_PER_BAND = 8  # base width; _pruned_bits_for widens it with n
+PRUNED_BITS_PER_BAND = 8  # pinned tier of the registered query; _pruned_tier_for scales it
 
 
-def _pruned_bits_for(n_vectors: int) -> int:
-    """Band width scaled to corpus size — the measured scaling rule from
-    BASELINE.md's round-6 banded-cosine curve, in code instead of a comment.
+def bands_for(bits: int, threshold: float = 0.90, target_miss: float = 1e-2) -> int:
+    """OR-amplification band count: the fewest bands of width ``bits`` such
+    that a pair at cosine ``threshold`` is missed by EVERY band with
+    probability <= ``target_miss``.
+
+    Hyperplane-LSH math (the published formula, law-tested in
+    tests/test_llm_pipeline.py): a random hyperplane splits a pair at angle
+    θ with probability θ/π, so one sign-bit agrees with p = 1 - θ/π, a
+    whole b-bit band matches with p^b, and `bands` bands ALL miss with
+    (1 - p^b)^bands. Solving (1 - p^b)^bands <= target_miss gives
+    bands = ceil(ln(target_miss) / ln(1 - p^b)). For the round-6 prose
+    configuration (16-bit bands, cos 0.90, 1e-2 miss) this yields 53 bands
+    (848 planes) — the band-COUNT dial that keeps recall when width alone
+    can't (VERDICT r6 #2), now code instead of docstring arithmetic."""
+    import math
+
+    p = 1.0 - math.acos(threshold) / math.pi
+    p_band = p**bits
+    return math.ceil(math.log(target_miss) / math.log1p(-p_band))
+
+
+def _pruned_tier_for(n_vectors: int) -> tuple[int, int]:
+    """(band width bits, band count) scaled to corpus size — the measured
+    scaling rule from BASELINE.md's round-6/7 banded-cosine curves, in code
+    instead of a comment. Used by the SCALE path
+    (embedding_cosine_banded_pruned_scaled / tools/scale_run.py); the
+    registered oracle-checked query pins the 8-bit tier (see its docstring).
 
     Random 8-bit band values collide at ~2⁻⁸, so BACKGROUND candidates grow
     as bands·n²/2⁹ regardless of how well the bands separate true pairs:
@@ -696,26 +709,25 @@ def _pruned_bits_for(n_vectors: int) -> int:
     (1-θ/π)^bits), which is the standard LSH trade: near-verbatim dups
     (cos ≈ 0.998, the dedup target) keep recall ≈ 1 at every width here —
     miss probability (1-0.98^16)^10 ≈ 3e-6 even at 16 bits — while a
-    hypothetical cos-0.80 pair's recall decays, exactly as production
-    MinHash/SimHash configs accept. Leftover planes that don't fill a
-    whole band are dropped (a partial band's narrow width would collide
-    at 2^-leftover and reintroduce the floor).
+    cos-0.90 pair's recall decays, exactly as production MinHash/SimHash
+    configs accept.
 
-    Both tiers are MEASURED, and so is the tier this function refuses to
-    ship (BASELINE.md round-6 scale tables). At 63 K vectors: 8-bit =
-    recall 1.0 at 238 s; 12-bit = recall 0.9907 at 11.1 s (the lost pairs
-    are the cos-0.90-0.93 tail of the planted set, deterministic). At
-    105 K vectors: 12-bit = recall 0.990 at 80 s; a 16-bit tier at the
-    same 160-plane budget measured recall 0.929 at 7.7 s — too much
-    recall for too little honesty, so width caps at 12. Past ~10⁵·10⁶
-    vectors the dial is band COUNT, not width: recall at width b and
-    pair-angle θ is 1-(1-(1-θ/π)^b)^bands, so a 1e-2 miss target at
-    cos 0.90 with 16-bit bands needs ~53 bands (848 planes, ~5× the
-    map-side signature work, floor 4× under 12-bit) — stated here so a
-    deployment with a known dup distribution can turn it."""
+    Every tier is MEASURED (BASELINE.md round-6/7 scale tables). At 63 K
+    vectors: 8-bit = recall 1.0 at 238 s; 12-bit = recall 0.9907 at 11.1 s
+    (the lost pairs are the cos-0.90-0.93 tail of the planted set,
+    deterministic). At 105 K vectors: 12-bit/13-band = recall 0.990 at
+    80 s; 16-bit at the SAME 160-plane budget (10 bands) measured recall
+    0.929 — width past 12 at a fixed plane budget drops the planted tail
+    wholesale, so past ~10⁵ vectors the recall-preserving dial is band
+    COUNT: 16-bit × bands_for(16, 0.90, 1e-2) = 53 bands (848 planes, ~5×
+    the map-side signature work, collision floor 4× under 12-bit) holds
+    the cos-0.90 miss target by construction — measured at 105 K vectors
+    in round 7 (BASELINE.md)."""
     if n_vectors <= 20_000:
-        return PRUNED_BITS_PER_BAND
-    return 12
+        return PRUNED_BITS_PER_BAND, PRUNED_N_PLANES // PRUNED_BITS_PER_BAND
+    if n_vectors <= 100_000:
+        return 12, PRUNED_N_PLANES // 12
+    return 16, bands_for(16, threshold=0.90, target_miss=1e-2)
 
 _PRUNED_CORPUS_SQL = f"""
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {_EMB} AS embeddings),
@@ -751,23 +763,26 @@ def _pruned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.unionByName(planted)
 
 
-def _pruned_candidates(corpus: DataFrame) -> DataFrame:
+def _pruned_candidates(corpus: DataFrame, tier: tuple[int, int] | None = None) -> DataFrame:
     """Hyperplane-banded candidate mining at the high-threshold tuning:
     wide band values (8-16 bits, vs 2-bit in the low-threshold query)
     collide for random pairs with prob 2⁻ᵇⁱᵗˢ per band — this is where the
-    pruning power comes from, and the width scales with the corpus
-    (_pruned_bits_for; the one count() action is a cheap scan next to the
-    n²/2^bits it controls). Same plan shape as
-    dedup_embedding_cosine_banded: map-side signatures against broadcast
-    planes, band-equality self-join, distinct."""
+    pruning power comes from. ``tier`` is (bits, bands): pass it explicitly
+    to pin a configuration (the registered oracle-checked query pins the
+    8-bit tier), or None to scale it with the corpus (_pruned_tier_for;
+    the one count() action is a cheap scan next to the bands·n²/2^bits it
+    controls). Plane rows are drawn from one seeded stream in band order,
+    so the 8-bit/20-band planes are bit-identical to every prior round's.
+    Same plan shape as dedup_embedding_cosine_banded: map-side signatures
+    against broadcast planes, band-equality self-join, distinct."""
     from sqload_spark.functions.vectors import dot
 
     rng = __import__("numpy").random.RandomState(41)
     spark = corpus.sparkSession
-    bits = _pruned_bits_for(corpus.count())
-    n_planes = (PRUNED_N_PLANES // bits) * bits  # drop partial-band planes
+    bits, bands = tier if tier is not None else _pruned_tier_for(corpus.count())
+    n_planes = bits * bands
     planes = spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(rng.randn(PRUNED_N_PLANES, 64)) if i < n_planes],
+        [(i, [float(x) for x in row]) for i, row in enumerate(rng.randn(n_planes, 64))],
         "plane int, p array<double>",
     )
     band_rows = (
@@ -799,16 +814,28 @@ def _pruned_candidates(corpus: DataFrame) -> DataFrame:
 @query("dedup_embedding_cosine_banded_pruned", oracle=_PRUNED_COSINE_ORACLE)
 def embedding_cosine_banded_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRUNING end of the banded-cosine dial: production dedup threshold
-    (0.8) over the corpus + planted near-dups, 8-bit bands. Same scale-safe
-    shape as dedup_embedding_cosine_banded (map-side signatures, band
-    shuffle, candidate-only exact re-rank) but the high threshold lets the
-    bands do real work: measured candidates / (n²/2) = see test_llm_pipeline
-    (≥10× shrink asserted at sf0.01); recall vs the exact oracle = 1.0 (this
-    query hash-matches the exact all-pairs oracle at the same threshold)."""
+    (0.8) over the corpus + planted near-dups. Same scale-safe shape as
+    dedup_embedding_cosine_banded (map-side signatures, band shuffle,
+    candidate-only exact re-rank) but the high threshold lets the bands do
+    real work: measured candidates / (n²/2) = see test_llm_pipeline (≥10×
+    shrink asserted at sf0.01).
+
+    The tier is PINNED at 8-bit × 20 bands — the configuration whose recall
+    vs the exact all-pairs oracle is measured 1.0 at every corpus size
+    tried (up to 63 K vectors, BASELINE.md r6), so this registration
+    hash-matches _PRUNED_COSINE_ORACLE on ANY corpus, large invariance runs
+    included (ADVICE r6: the earlier adaptive width silently traded recall
+    0.9907 above 20 K vectors against an exact oracle). The price is the
+    8-bit collision floor (bands·n²/2⁹ background candidates — 238 s at
+    63 K vectors); the corpus-scaled tier that pays recall for that floor
+    lives in embedding_cosine_banded_pruned_scaled below, measured
+    separately and never checked against the exact oracle."""
     from sqload_spark.functions.vectors import dot, norm
 
     corpus = _pruned_corpus(spark, sf_dir)
-    candidates = _pruned_candidates(corpus)
+    candidates = _pruned_candidates(
+        corpus, tier=(PRUNED_BITS_PER_BAND, PRUNED_N_PLANES // PRUNED_BITS_PER_BAND)
+    )
     va = corpus.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"), norm(F.col("v")).alias("n_a")
     )
@@ -819,6 +846,39 @@ def embedding_cosine_banded_pruned(spark: SparkSession, sf_dir: str) -> DataFram
     # corpus-sized, so forcing it broadcast would OOM at scale. Stats/AQE
     # pick broadcast at test SF (the table is tiny there) and a shuffle
     # join on vec_id once it isn't — the scale-adaptive choice.
+    return (
+        candidates.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos_raw", dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cos_raw") >= PRUNED_COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", round_half_up(F.col("cos_raw"), 4).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def embedding_cosine_banded_pruned_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE-path twin of dedup_embedding_cosine_banded_pruned: identical
+    plan shape and threshold, but the (band width, band count) tier adapts
+    to the corpus via _pruned_tier_for — 8-bit/20 up to 20 K vectors
+    (recall 1.0), 12-bit/13 to 100 K (recall 0.990, collision floor 16×
+    lower), 16-bit × bands_for(16, 0.90, 1e-2)=53 beyond (the
+    OR-amplification regime: the extra bands hold the cos-0.90 miss
+    probability <= 1e-2 by the LSH formula while the wide bands cut the
+    floor another 16×). Deliberately NOT registered: its recall above 20 K
+    vectors is a measured 0.99-trade, so checking it against the exact
+    all-pairs oracle would institutionalize a known mismatch (ADVICE r6) —
+    tools/scale_run.py measures it instead, with planted-pair counts as
+    ground truth (rows = k×100 exactly when recall is 1.0)."""
+    from sqload_spark.functions.vectors import dot, norm
+
+    corpus = _pruned_corpus(spark, sf_dir)
+    candidates = _pruned_candidates(corpus, tier=None)
+    va = corpus.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"), norm(F.col("v")).alias("n_a")
+    )
+    vb = corpus.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"), norm(F.col("v")).alias("n_b")
+    )
     return (
         candidates.join(va, "vec_a")
         .join(vb, "vec_b")

@@ -10,24 +10,23 @@ inference is a second scan at scale and non-deterministic under dirty data.
 
 from __future__ import annotations
 
-import atexit
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sqload_spark.functions.rounding import round_half_up
 from sqload_spark.registry import query
+from sqload_spark.session import scratch_subdir
 from sqload_spark.sources.sinks import write_partitioned_parquet
 from sqload_spark.sources.tables import load_table
 
-# process-unique so concurrent driver/test processes never collide on paths;
-# cleaned at process exit (same policy as session.scratch_dir — re-invocations
-# overwrite in place during the session, the residue goes when the process does)
-_SCRATCH = os.path.join(tempfile.gettempdir(), f"sqload_etl_{os.getpid()}")
-atexit.register(shutil.rmtree, _SCRATCH, ignore_errors=True)
+# Under the process-wide scratch root (session.scratch_subdir): unique per
+# process so concurrent driver/test runs never collide, re-invocations
+# overwrite in place during the session, and the root's single exit hook
+# removes the residue when the process does (VERDICT r6 #4 — one code path
+# for all scratch artifacts).
+_SCRATCH = scratch_subdir("etl")
 
 ORDERS_SCHEMA = (
     "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "

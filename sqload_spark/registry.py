@@ -55,64 +55,65 @@ _OPERATOR_MODULES = [
 _loaded = False
 
 # The external correctness driver checks queries in registry order and stops
-# after a fixed window of 50. ROUND-6 rotation (VERDICT r5 "Next round" #1):
-# CORRECTNESS_r05 came back 50/50 hash-green, so every r5-window query
-# rotates out and this window converts 50 of the 52 oracled
-# never-driver-checked queries (tools/coverage_report.py --list). All 50
-# are green under the identical local comparator (tools/drive_entry.py)
-# and 10 were independently re-run by the r5 judge (10/10 MATCH). The two
-# oracled names deliberately left out — etl_zorder_cluster and q_winsorize
-# — are exactly the judge-sampled ones with standing independent evidence.
+# after a fixed window of 50. ROUND-7 rotation (VERDICT r6 "Next round" #1):
+# CORRECTNESS_r06 came back 50/50 hash-green on 50 first-ever names, so the
+# whole r6 window rotates out. This window = the staged r7 recipe verbatim:
+#   1. the 3 never-driver-checked oracled names (etl_zorder_cluster,
+#      q_winsorize, sketch_hll_merge — all 3 judge-MATCH in r6, so this is
+#      conversion, not risk; sketch_hll_merge also carries this round's
+#      NULL-shard count fix, ADVICE r6);
+#   2. the other 3 round-6 checked-twin conversions whose newest external
+#      row predates their oracled form (sketch_count_min r3 rows-only,
+#      q_approx_count_distinct / q_approx_percentile r4 rows-only);
+#   3. all 40 r3-stale hash-green names (tools/coverage_report.py --list),
+#      so after this round no query's newest external row is older than r4;
+#   4. 4 r4 refreshes: the flagship pair (q1_pricing_summary,
+#      q3_shipping_priority), dedup_minhash_lsh, and
+#      dedup_embedding_cosine_banded_pruned — the last one re-rowed
+#      deliberately because round 7 pinned its tier at 8-bit (ADVICE r6
+#      medium: the adaptive width traded recall against an exact oracle).
+# Rows-only-by-design entries (gen_datasource_table, gen_stream_table,
+# dedup_simhash, LSH/IVF recall paths, mm_decode_features) stay out of the
+# window — law-tested in pytest instead.
 #
-# ROUND-7 WINDOW RECIPE (verify against CORRECTNESS_r06 first):
-#   1. etl_zorder_cluster, q_winsorize (the two oracled stragglers above);
-#   2. q_approx_count_distinct, q_approx_percentile, sketch_count_min,
-#      sketch_hll_merge — all four converted to checked twins in round 6
-#      (exact value + deterministic contract booleans, the
-#      sketch_cms_checked pattern; raw estimates stay law-tested in
-#      tests/test_sketches.py) and now oracled;
-#   3. any name CORRECTNESS_r06 unexpectedly missed or errored;
-#   4. fill the remaining ~43 slots with staleness refreshes, oldest
-#      driver-round first (tools/coverage_report.py --list sorts by round:
-#      the r01/r03 rows first — q1_pricing_summary, q3_shipping_priority,
-#      q5_local_supplier, src_parquet/csv/json/orc roundtrips, the r03
-#      dedup/text/sim core), skipping rows-only-by-design entries
-#      (gen_datasource_table, gen_stream_table, dedup_simhash,
-#      LSH/IVF recall paths, mm_decode_features — law-tested instead).
+# ROUND-8 WINDOW RECIPE (verify against CORRECTNESS_r07 first):
+#   1. any name CORRECTNESS_r07 unexpectedly missed or errored;
+#   2. the remaining r4-stale hash-green names not refreshed this round
+#      (~43: q5_region_revenue, q_anti/semi/except/intersect set ops, the
+#      window-function block q_window_*, q_string/math/date/json funcs,
+#      dedup_exact_groups, dedup_ngram_jaccard, src_orc_roundtrip, the
+#      stream_* r4 block, text_* r4 block — coverage_report --list is
+#      authoritative);
+#   3. fill to 50 with the oldest r5 rows (dedup_edit_distance,
+#      dedup_minhash_checked/eval, etl_partition_pruning/scd2/upsert,
+#      q2/q4/q6/q9..q22 TPC-H, sketch_cms_checked, src_csv_corrupt
+#      — again per coverage_report --list order).
 # Between driver rounds, `tools/coverage_report.py --sample N [seed]` runs
-# N random never-checked oracled queries through the drive_entry comparator
-# (the judge-sample protocol, VERDICT r5 #7) for standing evidence.
+# N random oracled queries through the drive_entry comparator (the
+# judge-sample protocol) for standing evidence.
 
 _PRIORITY = [
-    # -- TPC-H r4 join classics (judge-sampled MATCH, now for driver rows) --
-    "q7_volume_shipping", "q8_market_share",
-    # -- staged streaming block --------------------------------------------
-    "stream_stream_interval_join", "stream_static_enrich",
-    "stream_upsert_compaction", "stream_late_data_policy",
-    "stream_drift_scores", "stream_sliding_counts",
-    # -- staged dedup block -------------------------------------------------
-    "dedup_cluster_sizes", "dedup_cross_source_matrix", "dedup_exact_spans",
-    "dedup_incremental_shard", "dedup_keep_list_weighted",
-    # -- staged similarity / graph block ------------------------------------
-    "sim_knn_graph", "sim_pagerank_knn", "sim_topk_blas",
-    "sim_vector_quantize",
-    # -- staged text block --------------------------------------------------
-    "text_unigram_logprob", "text_inverted_index", "text_pii_scrub",
-    "text_gopher_quality", "text_vocab_coverage", "text_quality_arrow_udf",
-    # -- staged ETL / source block ------------------------------------------
-    "etl_constraint_check", "etl_file_sizing",
-    "etl_dynamic_partition_overwrite", "src_schema_evolution",
-    # -- staged multimodal + pipeline ---------------------------------------
-    "mm_frame_sample", "mm_dedup_payload", "pipe_output_manifest",
-    # -- staged time-series event-analytics block ---------------------------
-    "ts_anomaly_days", "ts_asof_nearest_tolerance", "ts_ewma",
-    "ts_funnel_stages", "ts_gap_fill", "ts_ohlc_bars", "ts_resample_interp",
-    "ts_retention_cohorts", "ts_transition_matrix", "ts_window_unique_users",
-    # -- staged profiling / sampling / window block -------------------------
-    "q_array_higher_order", "q_equidepth_histogram", "q_mode_per_group",
-    "q_profile_columns", "q_sample_temperature", "q_source_quota_cap",
-    "q_token_histogram", "q_unpivot_measures", "q_window_ntile_bands",
-    "q_window_range_frame",
+    # -- never-driver-checked oracled stragglers (judge-MATCH r6) -----------
+    "etl_zorder_cluster", "q_winsorize", "sketch_hll_merge",
+    # -- r6 checked-twin conversions, external row predates the twin form ---
+    "sketch_count_min", "q_approx_count_distinct", "q_approx_percentile",
+    # -- all 40 r3-stale refreshes (oldest external rows in the registry) ----
+    "dedup_embedding_cosine", "dedup_embedding_cosine_banded",
+    "dedup_keep_list", "etl_jdbc_bulk_load", "etl_partitioned_bulk_load",
+    "mm_payload_stats", "pipe_training_mix", "q_chunk_documents",
+    "q_conditional_agg", "q_correlated_scalar", "q_exists_correlated",
+    "q_from_json_map", "q_grouping_sets", "q_in_subquery", "q_mix_rebalance",
+    "q_pack_sequences", "q_range_join_bands", "q_salted_agg", "q_salted_join",
+    "q_sample_hash", "q_sample_stratified", "q_scalar_subquery",
+    "q_split_leakage_safe", "sim_label_centroids", "sim_topk_bruteforce",
+    "sim_topk_hyperplane_lsh", "src_csv_roundtrip", "src_json_roundtrip",
+    "stream_tumbling_counts", "text_quality_pandas_udf", "text_token_stats",
+    "text_top_terms_applyinpandas", "ts_asof_join", "ts_daily_rate",
+    "ts_first_last_per_user", "ts_moving_avg", "ts_multires_rollup",
+    "ts_sessionize", "ts_sliding_window", "ts_tumbling_window",
+    # -- 4 r4 refreshes (flagships + the re-tiered pruned query) ------------
+    "q1_pricing_summary", "q3_shipping_priority", "dedup_minhash_lsh",
+    "dedup_embedding_cosine_banded_pruned",
 ]
 
 

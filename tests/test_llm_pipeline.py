@@ -159,29 +159,53 @@ def test_pruned_banded_cosine_shrink_and_recall(spark, duck):
     )
 
 
-def test_pruned_band_width_scales_with_corpus():
+def test_pruned_tier_scales_with_corpus():
     """The banded-cosine collision floor is bands·n²/2^bits (BASELINE.md
     round-6 curve: 8-bit bands fine at 21 K vectors, 238 s at 63 K), so the
-    band width must widen with the corpus, whole bands only (a partial
-    band's narrow width collides at 2^-leftover and reintroduces the
-    floor), and near-verbatim dups (cos ≈ 0.998) must keep recall ≈ 1 at
-    every width."""
-    from sqload_spark.operators.dedup import PRUNED_N_PLANES, _pruned_bits_for
+    (width, band count) tier must change with the corpus, and near-verbatim
+    dups (cos ≈ 0.998) must keep recall ≈ 1 at every tier."""
+    from sqload_spark.operators.dedup import PRUNED_N_PLANES, _pruned_tier_for
 
-    assert _pruned_bits_for(210) == 8       # sf0.01 driver corpus
-    assert _pruned_bits_for(20_000) == 8    # measured fine zone
-    assert _pruned_bits_for(63_000) == 12   # measured 238 s knee
-    # width CAPS at 12: a 16-bit tier at the fixed plane budget measured
-    # recall 0.929 at 105 K vectors (vs 12-bit's 0.990) — beyond here the
-    # recall-preserving dial is band count, not width (docstring math)
-    assert _pruned_bits_for(500_000) == 12
+    assert _pruned_tier_for(210) == (8, 20)       # sf0.01 driver corpus
+    assert _pruned_tier_for(20_000) == (8, 20)    # measured fine zone
+    assert _pruned_tier_for(63_000) == (12, 13)   # measured 238 s knee
+    # width CAPS at 12 under the fixed 160-plane budget: a 16-bit tier at
+    # that budget measured recall 0.929 at 105 K vectors (vs 12-bit's
+    # 0.990) — beyond 100 K the recall-preserving dial is band COUNT
+    # (OR-amplification), so the wide tier carries bands_for's 53 bands
+    assert _pruned_tier_for(500_000) == (16, 53)
     for n in (210, 63_000, 500_000):
-        bits = _pruned_bits_for(n)
-        n_planes = (PRUNED_N_PLANES // bits) * bits
-        assert n_planes % bits == 0 and n_planes <= PRUNED_N_PLANES
+        bits, bands = _pruned_tier_for(n)
+        assert bits * bands >= PRUNED_N_PLANES // 2  # never degenerate
         # planted-dup recall law: P(miss every band) stays negligible
         p_band = 0.98 ** bits  # P(bit agrees) ≈ 1 - θ/π ≈ 0.98 at cos 0.998
-        assert (1 - p_band) ** (n_planes // bits) < 1e-5
+        assert (1 - p_band) ** bands < 1e-5
+
+
+def test_bands_for_matches_lsh_formula():
+    """bands_for is the published hyperplane-LSH OR-amplification rule:
+    recall at width b, angle θ, `bands` bands is 1-(1-(1-θ/π)^b)^bands.
+    The returned count must be the MINIMAL one meeting the miss target."""
+    import math
+
+    from sqload_spark.operators.dedup import bands_for
+
+    for bits in (8, 12, 16):
+        for threshold in (0.80, 0.90, 0.95):
+            for target_miss in (1e-1, 1e-2, 1e-3):
+                bands = bands_for(bits, threshold, target_miss)
+                p_band = (1.0 - math.acos(threshold) / math.pi) ** bits
+                miss = (1.0 - p_band) ** bands
+                assert miss <= target_miss, (bits, threshold, target_miss, bands)
+                if bands > 1:  # minimality: one fewer band breaches the target
+                    assert (1.0 - p_band) ** (bands - 1) > target_miss
+    # the round-6 prose configuration, now pinned by code
+    assert bands_for(16, 0.90, 1e-2) == 53
+    # monotonicity: wider bands / tighter targets / lower thresholds
+    # all need more bands
+    assert bands_for(16, 0.90, 1e-3) > bands_for(16, 0.90, 1e-2)
+    assert bands_for(16, 0.90, 1e-2) > bands_for(12, 0.90, 1e-2)
+    assert bands_for(16, 0.80, 1e-2) > bands_for(16, 0.90, 1e-2)
 
 
 def test_contamination_flags_benchmark_members(spark):

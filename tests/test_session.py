@@ -74,6 +74,34 @@ def test_no_bare_mkdtemp_in_package():
             # the one sanctioned call site, inside scratch_dir itself
             assert src.count("tempfile.mkdtemp(") == 1
             continue
-        if "tempfile.mkdtemp(" in src:
+        # tempfile.gettempdir() + a hand-built name is the same leak with
+        # extra steps (the pre-r7 dedup pair artifact and etl fixtures) —
+        # stable per-process artifact paths go through session.scratch_subdir
+        if "tempfile.mkdtemp(" in src or "gettempdir(" in src:
             offenders.append(str(py))
-    assert not offenders, f"bare mkdtemp outside session.scratch_dir: {offenders}"
+    assert not offenders, f"bare scratch path outside session.scratch_dir: {offenders}"
+
+
+def test_scratch_subdir_stable_and_under_one_root(tmp_path, monkeypatch):
+    """scratch_subdir: same key -> same path across invocations (artifact
+    writers overwrite in place), distinct keys -> sibling dirs under ONE
+    mkdtemp root registered for cleanup exactly once."""
+    import importlib
+
+    from sqload_spark import session as sess
+
+    monkeypatch.setattr(sess, "_SCRATCH_ROOT", [])
+    calls = []
+    real = sess.scratch_dir
+    monkeypatch.setattr(
+        sess, "scratch_dir", lambda prefix: calls.append(prefix) or real(prefix)
+    )
+    a1 = sess.scratch_subdir("etl")
+    a2 = sess.scratch_subdir("etl")
+    b = sess.scratch_subdir("dedup_pairs_x")
+    assert a1 == a2
+    assert a1 != b
+    import os
+
+    assert os.path.dirname(a1) == os.path.dirname(b)
+    assert len(calls) == 1  # one root, one cleanup hook
