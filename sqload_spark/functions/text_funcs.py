@@ -36,22 +36,30 @@ def shingles(text: Column, n: int = 3) -> Column:
     Documents with fewer than ``n`` tokens (including empty and NULL text
     — real corpora contain both) yield an EMPTY shingle set, matching the
     DuckDB oracles' list-comprehension semantics (`range(1, len(t)-1)` is
-    empty for short lists). The explicit when-guard also keeps every
-    ``element_at`` index in range, which under ANSI mode (Spark 4's
-    default) is the difference between a clean empty result and an
-    INVALID_ARRAY_INDEX crash killing the whole stage on the first dirty
-    shard (found by tools/adversarial_run.py)."""
+    empty for short lists). The when-guard keeps the slice length
+    non-negative, which under ANSI mode (Spark 4's default) is the
+    difference between a clean empty result and a crash killing the whole
+    stage on the first dirty shard (found by tools/adversarial_run.py).
+
+    Shape note (dirty × scale gate, round 7): the n-gram assembly is
+    ``arrays_zip`` of n SHIFTED SLICES of the token array, with the
+    transform lambda touching ONLY its own struct argument. The obvious
+    alternative — ``transform(sequence(...), i -> element_at(toks, i+k))``
+    — re-inlines the whole ``split`` subtree for every ``element_at``
+    inside the interpreted lambda (higher-order lambdas get no
+    subexpression elimination), which is O(tokens²) PER DOCUMENT: one
+    12 000-token hazard doc cost ~13 s alone, 22 pathological docs took a
+    38.8 s flat tax on every shingle consumer (measured; same family as
+    the 64×-re-inline note on minhash_agg_exprs below). The sliced shape
+    is linear: ~0.3 s on the same docs."""
     toks = tokens(text)
-    idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + F.lit(k)) for k in range(n)]
-            ),
-        )
+    m = F.size(toks) - F.lit(n - 1)  # valid only under the when-guard below
+    zipped = F.arrays_zip(*[F.slice(toks, k + 1, m).alias(f"t{k}") for k in range(n)])
+    grams = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"t{k}"] for k in range(n)])
+    )
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -117,21 +125,30 @@ def rolling_fingerprints(toks: Column, window: int = 4) -> Column:
     earlier xxhash64 variant, which had no DuckDB counterpart. 48 bits keeps
     collisions negligible (~1e-7 at 1M distinct spans) and fits BIGINT in
     both engines."""
-    # try_element_at, not element_at: documents shorter than `window` keep
-    # the oracle's short-doc fallback (one partial span — concat_ws skips
-    # the NULLs past the end, identically in DuckDB), where plain
-    # element_at raises under ANSI mode (Spark 4's default) and kills the
-    # stage on the first short/dirty document (tools/adversarial_run.py).
+    # Spans are assembled by arrays_zip of `window` SHIFTED SLICES, with
+    # the transform lambda touching only its own struct argument — the
+    # element_at(toks, i+k) form re-inlines the token-construction subtree
+    # for every span element inside the interpreted lambda (no
+    # subexpression elimination in higher-order lambdas), which is
+    # O(tokens²) per document (the round-7 shingles() lesson — one
+    # 12 000-token hazard doc costs seconds by itself). Short-doc
+    # semantics are preserved exactly: slices past the end come back
+    # short, arrays_zip pads the zipped structs with NULL fields, and
+    # concat_ws skips them — the same one-partial-span fallback the old
+    # try_element_at form produced and the DuckDB oracle computes; plain
+    # element_at would instead raise under ANSI mode (Spark 4's default)
+    # and kill the stage on the first short/dirty document
+    # (tools/adversarial_run.py). Empty or NULL token arrays yield the
+    # single md5("") span both engines agree on.
+    base = F.coalesce(toks, F.array().cast("array<string>"))
+    m = F.greatest(F.size(base) - F.lit(window - 1), F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(base, k + 1, m).alias(f"t{k}") for k in range(window)])
+    spans = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"t{k}"] for k in range(window)])
+    )
+    empty_span = F.array(F.lit(""))
     span_hashes = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - F.lit(window - 1), F.lit(1))),
-        lambda i: F.conv(
-            F.substring(
-                F.md5(F.concat_ws(" ", *[F.try_element_at(toks, i + F.lit(k)) for k in range(window)])),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("bigint"),
+        F.when(F.size(base) == 0, empty_span).otherwise(spans),
+        lambda sp: F.conv(F.substring(F.md5(sp), 1, 12), 16, 10).cast("bigint"),
     )
     return F.slice(F.array_sort(F.array_distinct(span_hashes)), 1, 8)

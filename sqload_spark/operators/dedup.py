@@ -1169,19 +1169,25 @@ def exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the output so the oracle covers the zeros too."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    n_blocks = F.floor(F.size(toks) / F.lit(SPAN_TOKENS)).cast("int")
+    # The block lambda slices the MATERIALIZED "toks" column, never the raw
+    # tokens() subtree: slice(<subtree>, ...) re-splits the text per block
+    # inside the interpreted lambda — O(tokens²/block) per doc (the round-7
+    # shingles() lesson).
+    n_blocks = F.floor(F.size("toks") / F.lit(SPAN_TOKENS)).cast("int")
     # sequence(0, -1) would DESCEND in Spark — docs shorter than one block
     # must yield an empty array (mirrors DuckDB's empty range()).
     idx = F.when(n_blocks >= 1, F.sequence(F.lit(0), n_blocks - 1)).otherwise(
         F.array().cast("array<int>")
     )
-    keyed = docs.select(
+    keyed = docs.select("doc_id", toks.alias("toks")).select(
         "doc_id",
         F.explode(
             F.transform(
                 idx,
                 lambda i: F.md5(
-                    F.concat_ws(" ", F.slice(toks, i * SPAN_TOKENS + 1, SPAN_TOKENS))
+                    F.concat_ws(
+                        " ", F.slice(F.col("toks"), i * SPAN_TOKENS + 1, SPAN_TOKENS)
+                    )
                 ),
             )
         ).alias("bkey"),

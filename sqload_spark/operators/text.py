@@ -965,14 +965,20 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out bigram LM scoring with stupid backoff — see block comment."""
     docs = load_table(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
+    # The lambda reads the MATERIALIZED "t" column, never the raw tokens()
+    # subtree: element_at(<subtree>, i) re-splits the text per bigram inside
+    # the interpreted lambda — O(tokens²) per doc (the round-7 shingles()
+    # lesson; one 12K-token hazard doc costs seconds by itself).
     bigram_structs = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
+        F.sequence(F.lit(1), F.size("t") - 1),
         lambda i: F.struct(
-            F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
+            F.element_at(F.col("t"), i).alias("w1"),
+            F.element_at(F.col("t"), i + 1).alias("w2"),
         ),
     )
     big_all = (
         docs.filter(F.size(t) >= 2)
+        .select("doc_id", t.alias("t"))
         .select("doc_id", F.explode(bigram_structs).alias("bg"))
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )

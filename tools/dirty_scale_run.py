@@ -126,13 +126,23 @@ def build_dirty(spark: SparkSession, clean_dir: str, k: int) -> str:
 DEFAULT_QUERIES = [
     ("dedup_minhash_lsh", "kx"),
     ("dedup_exact_groups", "kx"),
-    ("text_gopher_quality", "flat"),
-    ("text_token_stats", "kx"),
+    ("text_gopher_quality", "flat"),  # global per-language census
+    ("text_token_stats", "flat"),  # per-language aggregate, fixed bucket count
     ("ts_sessionize", "kx"),
     ("ts_tumbling_window", "flat"),
     ("ts_funnel_stages", "flat"),
     ("q1_pricing_summary", "flat"),
-    ("q_window_running_revenue", "kx"),
+    # l_suppkey <= 10: the per-replica key offsets keep replicas 1..k-1
+    # outside the filter BY DESIGN, so the window rows are replica-0-only
+    ("q_window_running_revenue", "flat"),
+    # the two round-7 HOF-quadratic fixes (span/fingerprint paths).
+    # text_rolling_fingerprint is n/a, not kx: winnowing keeps the 8
+    # SMALLEST span hashes per doc, and the suffix bijection preserves span
+    # EQUALITY but not hash ORDER, so each replica selects a different
+    # 8-subset and the shared-fp group count varies per replica (measured
+    # 46 554 at 10× vs 10×4 620 = 46 200). The hazard delta stays exact.
+    ("text_rolling_fingerprint", "n/a"),
+    ("dedup_exact_spans", "kx"),
     ("dedup_embedding_cosine_banded_pruned_scaled", "n/a"),
 ]
 
