@@ -615,19 +615,32 @@ def gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     curation pipeline."""
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
-    # per-doc max token frequency: sort tokens, count runs via a fold
-    top_tok = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda t: F.size(F.filter(toks, lambda x: x == t)),
-        )
+    # Per-doc max token frequency: run-length scan over the SORTED token
+    # array (the text_repetition_filter fold — one aggregate() pass,
+    # O(n log n) per doc). The transform+filter alternative is
+    # O(distinct × n) AND re-inlines the split subtree per distinct token
+    # inside the interpreted lambda (the round-7 shingles() lesson): fine
+    # on this corpus's short docs, a multi-second stall on any long
+    # high-diversity document. NULL text keeps the old NULL top_tok
+    # (aggregate over a NULL array is NULL, as array_max(NULL) was).
+    top_tok = F.aggregate(
+        F.array_sort(F.col("t")),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best, F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
-    feats = docs.select(
+    feats = docs.select("doc_id", "source", toks.alias("t")).select(
         "doc_id",
         "source",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
-        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).alias("tok_chars"),
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct"),
+        F.aggregate(F.col("t"), F.lit(0).cast("long"), lambda a, t: a + F.length(t)).alias("tok_chars"),
         top_tok.cast("bigint").alias("top_tok"),
     )
     f_len = F.when(
