@@ -830,12 +830,20 @@ def embedding_cosine_banded_pruned(spark: SparkSession, sf_dir: str) -> DataFram
     63 K vectors); the corpus-scaled tier that pays recall for that floor
     lives in embedding_cosine_banded_pruned_scaled below, measured
     separately and never checked against the exact oracle."""
-    from sqload_spark.functions.vectors import dot, norm
-
     corpus = _pruned_corpus(spark, sf_dir)
     candidates = _pruned_candidates(
         corpus, tier=(PRUNED_BITS_PER_BAND, PRUNED_N_PLANES // PRUNED_BITS_PER_BAND)
     )
+    return _pruned_rerank(corpus, candidates)
+
+
+def _pruned_rerank(corpus: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact-cosine re-rank of candidate pairs — ONE body shared by the
+    registered query and the scale-path twin, so a semantics change (norm,
+    rounding, threshold) can never desynchronize the never-oracle-checked
+    scale measurements from the registered contract (round-7 review)."""
+    from sqload_spark.functions.vectors import dot, norm
+
     va = corpus.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"), norm(F.col("v")).alias("n_a")
     )
@@ -869,24 +877,8 @@ def embedding_cosine_banded_pruned_scaled(spark: SparkSession, sf_dir: str) -> D
     all-pairs oracle would institutionalize a known mismatch (ADVICE r6) —
     tools/scale_run.py measures it instead, with planted-pair counts as
     ground truth (rows = k×100 exactly when recall is 1.0)."""
-    from sqload_spark.functions.vectors import dot, norm
-
     corpus = _pruned_corpus(spark, sf_dir)
-    candidates = _pruned_candidates(corpus, tier=None)
-    va = corpus.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"), norm(F.col("v")).alias("n_a")
-    )
-    vb = corpus.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"), norm(F.col("v")).alias("n_b")
-    )
-    return (
-        candidates.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .withColumn("cos_raw", dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
-        .filter(F.col("cos_raw") >= PRUNED_COSINE_THRESHOLD)
-        .select("vec_a", "vec_b", round_half_up(F.col("cos_raw"), 4).alias("cos_sim"))
-        .orderBy("vec_a", "vec_b")
-    )
+    return _pruned_rerank(corpus, _pruned_candidates(corpus, tier=None))
 
 
 @query("dedup_embedding_cosine_banded", oracle=_EMB_COSINE_ORACLE)

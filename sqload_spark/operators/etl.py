@@ -25,8 +25,12 @@ from sqload_spark.sources.tables import load_table
 # process so concurrent driver/test runs never collide, re-invocations
 # overwrite in place during the session, and the root's single exit hook
 # removes the residue when the process does (VERDICT r6 #4 — one code path
-# for all scratch artifacts).
-_SCRATCH = scratch_subdir("etl")
+# for all scratch artifacts). Resolved LAZILY, not at module level: the
+# registry imports every operator module, and creating the mkdtemp root as
+# an import side effect would make `import sqload_spark` itself write to
+# the filesystem (round-7 review).
+def _scratch() -> str:
+    return scratch_subdir("etl")
 
 ORDERS_SCHEMA = (
     "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
@@ -62,7 +66,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract is an explicit null token: NULL → \\N, '' → \"\" (quoted),
     symmetric on write and read."""
     od = load_table(spark, sf_dir, "orders")
-    path = os.path.join(_SCRATCH, "orders_csv")
+    path = os.path.join(_scratch(), "orders_csv")
     (
         od.write.mode("overwrite")
         .option("header", "true")
@@ -84,7 +88,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders → JSON lines → explicit-schema JSON scan → aggregate."""
     od = load_table(spark, sf_dir, "orders")
-    path = os.path.join(_SCRATCH, "orders_json")
+    path = os.path.join(_scratch(), "orders_json")
     od.write.mode("overwrite").json(path)
     back = spark.read.schema(ORDERS_SCHEMA).json(path)
     return _agg_orders(back)
@@ -118,7 +122,7 @@ def partitioned_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     answers group-bys losslessly and a pruning filter on flag F maps to
     __part_l_returnflag = escape(F)."""
     li = load_table(spark, sf_dir, "lineitem")
-    path = os.path.join(_SCRATCH, "lineitem_load")
+    path = os.path.join(_scratch(), "lineitem_load")
     write_partitioned_parquet(
         li,
         path,
@@ -170,8 +174,8 @@ def jdbc_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # keep derby.log in the scratch dir, not the caller's CWD (no-op once
     # the Derby engine has booted in this JVM)
-    spark._jvm.System.setProperty("derby.system.home", _SCRATCH)
-    url = f"jdbc:derby:{_SCRATCH}/derby_db;create=true"
+    spark._jvm.System.setProperty("derby.system.home", _scratch())
+    url = f"jdbc:derby:{_scratch()}/derby_db;create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     od = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
@@ -219,7 +223,7 @@ def partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     reading one partition and reading the lake; the oracle (filtered
     query on the original table) proves pruning loses nothing."""
     od = load_table(spark, sf_dir, "orders")
-    path = os.path.join(_SCRATCH, "orders_pruned")
+    path = os.path.join(_scratch(), "orders_pruned")
     # through the sink so the string partition key gets its escaped twin
     # (NULL/'' directory collapse, see write_partitioned_parquet); the
     # pruning filter targets the twin DIRECTORY column — escape('F') = 'F'
@@ -278,7 +282,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema itself; predicate pushdown and column pruning apply as with
     parquet."""
     od = load_table(spark, sf_dir, "orders")
-    path = os.path.join(_SCRATCH, "orders_orc")
+    path = os.path.join(_scratch(), "orders_orc")
     od.write.mode("overwrite").orc(path)
     return _agg_orders(spark.read.orc(path))
 
@@ -356,7 +360,7 @@ def zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "hr", "ts", "zval")
     )
-    path = os.path.join(_SCRATCH, "events_zorder")
+    path = os.path.join(_scratch(), "events_zorder")
     (
         clustered.repartitionByRange(8, "zval")
         .sortWithinPartitions("zval")
@@ -404,7 +408,7 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the same evolution as a UNION ALL with a NULL
     literal, proving no rows or values are disturbed by the merge."""
     od = load_table(spark, sf_dir, "orders")
-    path = os.path.join(_SCRATCH, "orders_evolving")
+    path = os.path.join(_scratch(), "orders_evolving")
     (
         od.filter(F.col("o_orderkey") % 2 == 0)
         .select("o_orderkey", "o_totalprice")
@@ -459,7 +463,7 @@ def file_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     output partition here so chunking is total-order-deterministic; in
     production the same option applies per partition."""
     od = load_table(spark, sf_dir, "orders")
-    path = os.path.join(_SCRATCH, "orders_sized")
+    path = os.path.join(_scratch(), "orders_sized")
     (
         od.select("o_orderkey")
         .coalesce(1)
@@ -518,7 +522,7 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
-    path = os.path.join(_SCRATCH, "orders_dyn")
+    path = os.path.join(_scratch(), "orders_dyn")
     # both writes go through the sink: partitioning on the raw string key
     # would collapse NULL and '' statuses into __HIVE_DEFAULT_PARTITION__
     # and the read-back group-by would merge them (the adversarial-corpus
@@ -757,7 +761,7 @@ def text_logparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" value="), F.col("value").cast("string"), F.lit(" id="),
         F.col("event_id").cast("string"),
     )
-    path = os.path.join(_SCRATCH, "events_textlog")
+    path = os.path.join(_scratch(), "events_textlog")
     ev.select(line.alias("value")).filter(F.col("value").isNotNull()).write.mode(
         "overwrite"
     ).text(path)
@@ -831,7 +835,7 @@ def csv_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
         # corrupted rows emit a non-numeric value field
         F.when(corrupt, F.lit("###")).otherwise(cell(F.col("value"))),
     )
-    path = os.path.join(_SCRATCH, "events_dirty_csv")
+    path = os.path.join(_scratch(), "events_dirty_csv")
     ev.select(line.alias("value")).write.mode("overwrite").text(path)
     schema = "event_id bigint, user_id bigint, value double, _bad string"
     back = (

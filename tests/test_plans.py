@@ -116,13 +116,13 @@ def test_partition_pruning_reads_one_partition(spark):
 
     from pyspark.sql import functions as F
 
-    from sqload_spark.operators.etl import _SCRATCH
+    from sqload_spark.operators.etl import _scratch
     from sqload_spark.sources.tables import load_table
 
     from sqload_spark.sources.sinks import write_partitioned_parquet
 
     od = load_table(spark, SF_DIR, "orders")
-    path = os.path.join(_SCRATCH, "orders_pruned_plan")
+    path = os.path.join(_scratch(), "orders_pruned_plan")
     # the production path: sink writes the escaped-twin directory column,
     # the pruning filter targets the twin (escape('F') = 'F')
     write_partitioned_parquet(od, path, partition_by=["o_orderstatus"])
@@ -152,7 +152,7 @@ def test_zorder_layout_localizes_box_files(spark):
     QUERIES["etl_zorder_cluster"](spark, SF_DIR).collect()  # writes the layout
     import os
 
-    path = os.path.join(etl._SCRATCH, "events_zorder")
+    path = os.path.join(etl._scratch(), "events_zorder")
     back = spark.read.parquet(path)
     total_files = back.select(F.input_file_name()).distinct().count()
     box = back.filter(

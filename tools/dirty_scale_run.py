@@ -196,6 +196,10 @@ def main() -> int:
                 )
             shape = shapes.get(name, "n/a")
             c1, ck = cells[("clean", scales[0])][0], cells[("clean", k)][0]
+            if c1 is None or ck is None:
+                # the clean run itself errored — already recorded above;
+                # don't let k * None crash the gate before the verdict line
+                continue
             if shape == "kx" and ck != k * c1:
                 failures.append(f"{name}: clean shape broke — expected {k}x{c1}, got {ck}")
             if shape == "flat" and ck != c1:

@@ -6,11 +6,14 @@ stages) logged ONE post-result `java.lang.StackOverflowError` from a
 stream-execution thread — after the affected query had delivered its sink
 rows, with the run still finishing 193/0, and not reproducible by an
 isolated serial re-run of the streaming queries. This tool is the
-protocolized reproduction attempt: the SAME geometry (local[1],
-shuffle=1), the SAME dirty corpus (adversarial_run's builder), and a
-long-session serial replay of all 12 streaming queries × N iterations —
-accumulating far more stream-execution thread churn than the original
-session's single pass. The engine's own streaming code contains no regex
+protocolized reproduction attempt: the SAME session construction as the
+run that logged the artifact — tools/invariance_run.py's BARE
+SparkSession.builder (default driver memory, no engine configs) at
+local[1]/shuffle=1, deliberately NOT session.get_spark's tuned builder —
+the SAME dirty corpus (adversarial_run's builder), and a long-session
+serial replay of all 12 streaming queries × N iterations — accumulating
+far more stream-execution thread churn than the original session's
+single pass. The engine's own streaming code contains no regex
 (grep: zero regexp/rlike in sqload_spark/streaming/), so a reproduction
 would implicate Spark-internal parsing on our plan shapes; row counts are
 asserted stable across iterations so a state leak shows up as drift even
