@@ -76,6 +76,13 @@ ADVERSARIAL_DOCS = [
     (100019, None, "en", "srcE"),                        # NULL text
     (100020, "ünïcödé länge tëst ünïcödé", "de", "srcE"),  # latin-1 diacritics
     (100021, "x y " * 5000, "en", "srcE"),               # 10k tiny tokens
+    # high-DIVERSITY long doc (round 7): every token distinct. The three
+    # long docs above are all low-diversity (2-5 distinct tokens), which
+    # left the O(distinct × n) class of per-doc blowups unexercised — the
+    # gopher dominance rule's transform+filter form cost 12 s on one such
+    # doc and this corpus never noticed. Now any rule whose per-doc cost
+    # carries a distinct-count factor pays it here, in-gate.
+    (100022, " ".join(f"v{i}" for i in range(8000)), "en", "srcE"),
 ]
 
 # Adversarial events: event_ids from 100000. The ingestion-shaped hazards

@@ -96,14 +96,23 @@ def build_dirty(spark: SparkSession, clean_dir: str, k: int) -> str:
     file per table, schema-exact (hazard DataFrames are built against the
     clean table's own Spark schema, so the mixed-file directory reads
     identically to a single-writer one)."""
+    import hashlib
+
     out = f"{scale_run.WORK_DIR}/x{k}_dirty"
-    # sentinel is the LAST artifact written: a run killed mid-append must
-    # not leave a half-dirty cache dir that passes this check forever
-    if os.path.exists(f"{out}/_dirty_complete"):
+    hazards = _hazard_rows()
+    # sentinel is the LAST artifact written (a run killed mid-append must
+    # not leave a half-dirty cache dir that passes this check forever) and
+    # is CONTENT-ADDRESSED by the hazard set: extending ADVERSARIAL_* in
+    # adversarial_run.py must invalidate every cached dirty corpus, or the
+    # gate silently keeps measuring the old attack surface.
+    version = hashlib.md5(
+        repr(sorted((t, repr(rows)) for t, rows in hazards.items())).encode()
+    ).hexdigest()
+    sentinel = f"{out}/_dirty_complete"
+    if os.path.exists(sentinel) and open(sentinel).read().strip() == version:
         return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
-    hazards = _hazard_rows()
     for t in TABLE_NAMES:
         src, dst = f"{clean_dir}/{t}.parquet", f"{out}/{t}.parquet"
         if os.path.isdir(src):
@@ -116,8 +125,8 @@ def build_dirty(spark: SparkSession, clean_dir: str, k: int) -> str:
             spark.createDataFrame(rows, schema).coalesce(1).write.mode(
                 "append"
             ).parquet(dst)
-    with open(f"{out}/_dirty_complete", "w") as fh:
-        fh.write("v1\n")
+    with open(sentinel, "w") as fh:
+        fh.write(version + "\n")
     return out
 
 
