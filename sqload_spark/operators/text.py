@@ -119,15 +119,17 @@ def langid_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the machinery's agreement matrix, not real accuracy.) Ties resolve
     by fixed language priority — identical CASE order in both engines."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
 
     def marker_hits(words: tuple[str, ...]):
         return lambda t: t.isin(*words)
 
-    scored = docs.select(
+    # tokenize ONCE per row into a materialized column: five per-language
+    # filters over the raw tokens() subtree would re-split the text five
+    # times per row (constant-factor cousin of the round-7 HOF lesson)
+    scored = docs.select("lang", tokens(F.col("text")).alias("t")).select(
         "lang",
         *[
-            F.size(F.filter(toks, marker_hits(LANG_MARKERS[lang]))).alias(f"s_{lang}")
+            F.size(F.filter(F.col("t"), marker_hits(LANG_MARKERS[lang]))).alias(f"s_{lang}")
             for lang in _LANG_ORDER
         ],
     )
@@ -172,13 +174,14 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length / stopword / lexical-diversity quality features + a combined
     score — the standard cheap pre-filter in LLM data pipelines."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    feats = docs.select(
+    # tokenize ONCE per row (four features over the raw tokens() subtree
+    # would re-split the text four times per row)
+    feats = docs.select("doc_id", tokens(F.col("text")).alias("t")).select(
         "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
-        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("bigint").alias("n_stop"),
-        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).alias("tok_chars"),
+        F.size("t").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct"),
+        F.size(F.filter(F.col("t"), lambda t: t.isin(*STOPWORDS))).cast("bigint").alias("n_stop"),
+        F.aggregate(F.col("t"), F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).alias("tok_chars"),
     )
     ttr = F.col("n_distinct").cast("double") / F.col("n_tokens")
     stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
@@ -456,7 +459,9 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs 1.4 s for this formulation. Same value, same oracle."""
     docs = load_table(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
-    base = docs.filter(F.size(t) >= 2).select("doc_id", "source", t.alias("t"))
+    # select-then-filter: filtering on the raw tokens() subtree and THEN
+    # aliasing it would split each text twice per row
+    base = docs.select("doc_id", "source", t.alias("t")).filter(F.size("t") >= 2)
     bg = F.transform(
         F.sequence(F.lit(1), F.size("t") - 1),
         lambda i: F.concat(
@@ -990,8 +995,8 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     big_all = (
-        docs.filter(F.size(t) >= 2)
-        .select("doc_id", t.alias("t"))
+        docs.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 2)
         .select("doc_id", F.explode(bigram_structs).alias("bg"))
         .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
