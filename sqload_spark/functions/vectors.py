@@ -32,6 +32,29 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_expanded(a: Column, b: Column, dim: int = 64) -> Column:
+    """Σ aᵢ·bᵢ as a flat ``dim``-term scalar expression for HOT
+    (per-candidate/per-pair) paths. Bit-identical to ``dot``'s fold — the
+    expanded sum keeps the same left-to-right association — but runs
+    inside whole-stage codegen instead of the interpreted higher-order
+    evaluator (measured ~30% per-pair at 100 K pairs and 4× at 2 M pairs,
+    BASELINE.md/dedup banded notes). Requires fixed-width vectors (the
+    corpus contract: 64-dim) — ``element_at`` past the end would raise
+    under ANSI, so only use on validated embedding columns."""
+    e = F.element_at(a, 1) * F.element_at(b, 1)
+    for i in range(2, dim + 1):
+        e = e + F.element_at(a, i) * F.element_at(b, i)
+    return e
+
+
+def cosine_expanded(a: Column, b: Column, dim: int = 64) -> Column:
+    """``cosine`` with every dot product in expanded codegen form —
+    bit-identical values (verified pairwise over the sf0.1 corpus)."""
+    return dot_expanded(a, b, dim) / (
+        F.sqrt(dot_expanded(a, a, dim)) * F.sqrt(dot_expanded(b, b, dim))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding validity contract.
 #

@@ -841,8 +841,10 @@ def _pruned_rerank(corpus: DataFrame, candidates: DataFrame) -> DataFrame:
     """Exact-cosine re-rank of candidate pairs — ONE body shared by the
     registered query and the scale-path twin, so a semantics change (norm,
     rounding, threshold) can never desynchronize the never-oracle-checked
-    scale measurements from the registered contract (round-7 review)."""
-    from sqload_spark.functions.vectors import dot, norm
+    scale measurements from the registered contract (round-7 review).
+    The per-candidate dot is the expanded codegen form (bit-identical to
+    the fold; functions/vectors.py)."""
+    from sqload_spark.functions.vectors import dot_expanded, norm
 
     va = corpus.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"), norm(F.col("v")).alias("n_a")
@@ -857,7 +859,9 @@ def _pruned_rerank(corpus: DataFrame, candidates: DataFrame) -> DataFrame:
     return (
         candidates.join(va, "vec_a")
         .join(vb, "vec_b")
-        .withColumn("cos_raw", dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
+        .withColumn(
+            "cos_raw", dot_expanded(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+        )
         .filter(F.col("cos_raw") >= PRUNED_COSINE_THRESHOLD)
         .select("vec_a", "vec_b", round_half_up(F.col("cos_raw"), 4).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")

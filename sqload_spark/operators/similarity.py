@@ -25,7 +25,15 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
-from sqload_spark.functions.vectors import EMB_VALID_SQL, cosine, dot, to_double_array
+# cosine_expanded, not the cosine fold, on every per-candidate path:
+# bit-identical values in whole-stage codegen instead of the interpreted
+# higher-order evaluator (functions/vectors.py docstring; round 7)
+from sqload_spark.functions.vectors import (
+    EMB_VALID_SQL,
+    cosine_expanded,
+    dot,
+    to_double_array,
+)
 
 # Contract-filtered embeddings scan for oracles (vectors.EMB_VALID_SQL).
 _EMB = f"(SELECT * FROM embeddings WHERE {EMB_VALID_SQL})"
@@ -102,7 +110,7 @@ def topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _queries_df(emb).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
     pairs = (
         emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("n_id"), cosine(F.col("qv"), F.col("v")).alias("cos_raw"))
+        .select("q_id", F.col("vec_id").alias("n_id"), cosine_expanded(F.col("qv"), F.col("v")).alias("cos_raw"))
     )
     return _topk(pairs)
 
@@ -164,7 +172,7 @@ def _hyperplane_topk(
         band_match = m if band_match is None else (band_match | m)
     pairs = (
         sig.join(F.broadcast(q), (F.col("vec_id") != F.col("q_id")) & band_match)
-        .select("q_id", F.col("vec_id").alias("n_id"), cosine(F.col("qv"), F.col("v")).alias("cos_raw"))
+        .select("q_id", F.col("vec_id").alias("n_id"), cosine_expanded(F.col("qv"), F.col("v")).alias("cos_raw"))
     )
     return _topk(pairs)
 
@@ -239,7 +247,7 @@ def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         data_side.join(F.broadcast(q), ["cluster"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("n_id"), cosine(F.col("qv"), F.col("v")).alias("cos_raw"))
+        .select("q_id", F.col("vec_id").alias("n_id"), cosine_expanded(F.col("qv"), F.col("v")).alias("cos_raw"))
     )
     return _topk(pairs)
 
@@ -289,7 +297,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         sub.select(F.col("vec_id").alias("src"), "v")
         .join(F.broadcast(right), F.col("src") != F.col("dst"))
-        .select("src", "dst", cosine(F.col("v"), F.col("dv")).alias("cos_raw"))
+        .select("src", "dst", cosine_expanded(F.col("v"), F.col("dv")).alias("cos_raw"))
     )
     w = W.partitionBy("src").orderBy(F.col("cos_raw").desc(), F.col("dst"))
     knn = pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= KNN_K)
@@ -430,7 +438,7 @@ def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         sub.select(F.col("vec_id").alias("src"), "v")
         .join(F.broadcast(right), F.col("src") != F.col("dst"))
-        .select("src", "dst", cosine(F.col("v"), F.col("dv")).alias("cos_raw"))
+        .select("src", "dst", cosine_expanded(F.col("v"), F.col("dv")).alias("cos_raw"))
     )
     w = W.partitionBy("src").orderBy(F.col("cos_raw").desc(), F.col("dst"))
     knn = (
@@ -624,7 +632,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     q = _queries_df(emb).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-    rel6 = round_half_up(cosine(F.col("qv"), F.col("v")), 6)
+    rel6 = round_half_up(cosine_expanded(F.col("qv"), F.col("v")), 6)
     pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
         "q_id", F.col("vec_id").alias("n_id"), F.col("v"), rel6.alias("rel")
     )
@@ -645,7 +653,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.q_id").alias("q_id"),
             F.col("a.n_id").alias("i"),
             F.col("b.n_id").alias("j"),
-            round_half_up(cosine(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+            round_half_up(cosine_expanded(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
         )
     )
 
@@ -831,7 +839,7 @@ def crossencoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     q = _queries_df(emb).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-    rel6 = round_half_up(cosine(F.col("qv"), F.col("v")), 6)
+    rel6 = round_half_up(cosine_expanded(F.col("qv"), F.col("v")), 6)
     pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
         "q_id", F.col("vec_id").alias("n_id"), rel6.alias("rel")
     )
