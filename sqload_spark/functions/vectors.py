@@ -12,6 +12,9 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+EMB_DIM = 64  # the pipeline's fixed model width — single-sourced here
+
+
 def to_double_array(v: Column) -> Column:
     return F.transform(v, lambda x: x.cast("double"))
 
@@ -32,7 +35,7 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def dot_expanded(a: Column, b: Column, dim: int = 64) -> Column:
+def dot_expanded(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
     """Σ aᵢ·bᵢ as a flat ``dim``-term scalar expression for HOT
     (per-candidate/per-pair) paths. Bit-identical to ``dot``'s fold — the
     expanded sum keeps the same left-to-right association — but runs
@@ -47,9 +50,15 @@ def dot_expanded(a: Column, b: Column, dim: int = 64) -> Column:
     return e
 
 
-def cosine_expanded(a: Column, b: Column, dim: int = 64) -> Column:
+def cosine_expanded(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
     """``cosine`` with every dot product in expanded codegen form —
-    bit-identical values (verified pairwise over the sf0.1 corpus)."""
+    bit-identical values (verified pairwise over the sf0.1 corpus).
+
+    Per-PAIR use recomputes both self-norms per row (Spark has no
+    cross-row CSE) — on n² paths precompute a norm column per vector
+    map-side and divide by ``n_a * n_b`` instead (the _pruned_rerank /
+    embedding_cosine_dups pattern); this helper is for bounded pair sets
+    where the 3× arithmetic doesn't matter."""
     return dot_expanded(a, b, dim) / (
         F.sqrt(dot_expanded(a, a, dim)) * F.sqrt(dot_expanded(b, b, dim))
     )
@@ -85,10 +94,17 @@ def valid_embedding(v: Column) -> Column:
     happening to evaluate false, and a relaxed or reordered bound check
     could silently admit NaN vectors. DuckDB also sorts NaN above all
     numbers, so its oracle-side max-bound check rejects NaN the same way;
-    inf fails the bound check in both engines."""
+    inf fails the bound check in both engines.
+
+    The EMB_DIM width check is part of the contract (round-7 review): the
+    hot per-pair paths are flat EMB_DIM-term expanded sums, so a
+    wrong-width vector that slipped past the filter would either raise
+    INVALID_ARRAY_INDEX under ANSI (too short) or silently truncate the
+    sum (too long) — the contract drops it on BOTH engines instead."""
     dv = to_double_array(v)
     return (
-        (dot(dv, dv) > 0)
+        (F.size(dv) == EMB_DIM)
+        & (dot(dv, dv) > 0)
         & F.forall(dv, lambda x: ~F.isnan(x))
         & F.forall(dv, lambda x: F.abs(x) <= F.lit(EMB_MAX_ABS))
     )
@@ -106,6 +122,7 @@ def valid_embedding(v: Column) -> Column:
 # is false) — mirroring the Spark side's explicit isnan guard.
 EMB_VALID_SQL = (
     "(embedding IS NOT NULL"
+    f" AND len(embedding) = {EMB_DIM}"
     " AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0"
     " AND list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)), 'max')"
     f" <= {EMB_MAX_ABS!r})"

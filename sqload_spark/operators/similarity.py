@@ -32,6 +32,7 @@ from sqload_spark.functions.vectors import (
     EMB_VALID_SQL,
     cosine_expanded,
     dot,
+    dot_expanded,
     to_double_array,
 )
 
@@ -104,13 +105,22 @@ _TOPK_ORACLE = f"""
 
 @query("sim_topk_bruteforce", oracle=_TOPK_ORACLE)
 def topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # norms once per VECTOR map-side (n sqrt sums), never per PAIR (Spark
+    # has no cross-row CSE, so an in-pair cosine recomputes both self-dots
+    # on every one of the n×q rows — 3× the hot-path arithmetic; round-7
+    # review). sqrt(dot_expanded(v,v)) has the same association as the
+    # in-pair form, so values stay bit-identical and the oracle unchanged.
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
-    q = _queries_df(emb).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-    pairs = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("n_id"), cosine_expanded(F.col("qv"), F.col("v")).alias("cos_raw"))
+    emb = emb.withColumn("nrm", F.sqrt(dot_expanded(F.col("v"), F.col("v"))))
+    q = _queries_df(emb).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        (dot_expanded(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos_raw"),
     )
     return _topk(pairs)
 
@@ -160,19 +170,27 @@ def _hyperplane_topk(
             bands.append(value.alias(f"band{band}"))
         return bands
 
-    sig = emb.select("vec_id", "v", *band_cols(F.col("v")))
+    # per-vector norm map-side, not per-pair (see topk_bruteforce)
+    sig = emb.select(
+        "vec_id",
+        "v",
+        F.sqrt(dot_expanded(F.col("v"), F.col("v"))).alias("nrm"),
+        *band_cols(F.col("v")),
+    )
     q = _queries_df(sig).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
         *[F.col(f"band{b}").alias(f"qband{b}") for b in range(LSH_BANDS)],
     )
     band_match = None
     for b in range(LSH_BANDS):
         m = F.col(f"band{b}") == F.col(f"qband{b}")
         band_match = m if band_match is None else (band_match | m)
-    pairs = (
-        sig.join(F.broadcast(q), (F.col("vec_id") != F.col("q_id")) & band_match)
-        .select("q_id", F.col("vec_id").alias("n_id"), cosine_expanded(F.col("qv"), F.col("v")).alias("cos_raw"))
+    pairs = sig.join(F.broadcast(q), (F.col("vec_id") != F.col("q_id")) & band_match).select(
+        "q_id",
+        F.col("vec_id").alias("n_id"),
+        (dot_expanded(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos_raw"),
     )
     return _topk(pairs)
 
@@ -232,22 +250,29 @@ def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = emb.select(
         "vec_id",
         "v",
+        F.sqrt(dot_expanded(F.col("v"), F.col("v"))).alias("nrm"),
         F.element_at(ranked_struct, 1)["idx"].alias("cluster"),
         F.slice(ranked_struct, 1, N_PROBE).alias("probe_structs"),
     )
-    data_side = assigned.select("vec_id", "v", "cluster")
+    data_side = assigned.select("vec_id", "v", "nrm", "cluster")
     q = (
         _queries_df(assigned)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
             F.explode(F.transform(F.col("probe_structs"), lambda s: s["idx"])).alias("cluster"),
         )
     )
+    # per-vector norm map-side, not per-pair (see topk_bruteforce)
     pairs = (
         data_side.join(F.broadcast(q), ["cluster"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("n_id"), cosine_expanded(F.col("qv"), F.col("v")).alias("cos_raw"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            (dot_expanded(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos_raw"),
+        )
     )
     return _topk(pairs)
 
@@ -292,12 +317,20 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.py); the subcorpus keeps this registration brute-force so the
     oracle is exact."""
     emb = load_embeddings(spark, sf_dir).filter(F.col("vec_id") % 10 == 0)
+    # per-vector norm map-side, not per-pair (see topk_bruteforce)
     sub = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
-    right = sub.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv"))
+    sub = sub.withColumn("nrm", F.sqrt(dot_expanded(F.col("v"), F.col("v"))))
+    right = sub.select(
+        F.col("vec_id").alias("dst"), F.col("v").alias("dv"), F.col("nrm").alias("dn")
+    )
     pairs = (
-        sub.select(F.col("vec_id").alias("src"), "v")
+        sub.select(F.col("vec_id").alias("src"), "v", "nrm")
         .join(F.broadcast(right), F.col("src") != F.col("dst"))
-        .select("src", "dst", cosine_expanded(F.col("v"), F.col("dv")).alias("cos_raw"))
+        .select(
+            "src",
+            "dst",
+            (dot_expanded(F.col("v"), F.col("dv")) / (F.col("nrm") * F.col("dn"))).alias("cos_raw"),
+        )
     )
     w = W.partitionBy("src").orderBy(F.col("cos_raw").desc(), F.col("dst"))
     knn = pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= KNN_K)
@@ -433,12 +466,20 @@ def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical unrolled iterations as chained CTEs, so the iterative
     computation itself is hash-checked."""
     emb = load_embeddings(spark, sf_dir).filter(F.col("vec_id") % 10 == 0)
+    # per-vector norm map-side, not per-pair (see topk_bruteforce)
     sub = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
-    right = sub.select(F.col("vec_id").alias("dst"), F.col("v").alias("dv"))
+    sub = sub.withColumn("nrm", F.sqrt(dot_expanded(F.col("v"), F.col("v"))))
+    right = sub.select(
+        F.col("vec_id").alias("dst"), F.col("v").alias("dv"), F.col("nrm").alias("dn")
+    )
     pairs = (
-        sub.select(F.col("vec_id").alias("src"), "v")
+        sub.select(F.col("vec_id").alias("src"), "v", "nrm")
         .join(F.broadcast(right), F.col("src") != F.col("dst"))
-        .select("src", "dst", cosine_expanded(F.col("v"), F.col("dv")).alias("cos_raw"))
+        .select(
+            "src",
+            "dst",
+            (dot_expanded(F.col("v"), F.col("dv")) / (F.col("nrm") * F.col("dn"))).alias("cos_raw"),
+        )
     )
     w = W.partitionBy("src").orderBy(F.col("cos_raw").desc(), F.col("dst"))
     knn = (

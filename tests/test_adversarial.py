@@ -62,17 +62,30 @@ def test_rolling_fingerprints_short_doc_fallback(spark):
     assert len(out[3]) == 2  # two full 4-token spans
 
 
+def _padded(*head: float) -> list[float]:
+    """A contract-width (EMB_DIM) vector starting with the given values."""
+    from sqload_spark.functions.vectors import EMB_DIM
+
+    return list(head) + [0.0] * (EMB_DIM - len(head))
+
+
 def test_valid_embedding_contract(spark):
-    """Zero-norm, NULL, and >1e6-magnitude vectors are excluded; tiny,
-    negative, duplicate and one-hot vectors are kept."""
+    """Zero-norm, NULL, >1e6-magnitude, NaN, and WRONG-WIDTH vectors are
+    excluded; tiny, negative, duplicate and one-hot vectors are kept. The
+    width conjunct is part of the contract (round-7 review): the hot paths
+    are flat EMB_DIM-term expanded sums, so a short vector would raise
+    under ANSI and a long one would silently truncate — the filter drops
+    both instead."""
     rows = [
-        (1, [0.0, 0.0]),
-        (2, None),
-        (3, [2e6, 0.0]),
-        (4, [1e-30, 0.0]),
-        (5, [-1.0, -1.0]),
-        (6, [1.0, 0.0]),
-        (7, [float("nan"), 1.0]),
+        (1, _padded()),               # zero norm
+        (2, None),                    # NULL
+        (3, _padded(2e6)),            # over-magnitude
+        (4, _padded(1e-30)),          # denormal-tiny: kept
+        (5, _padded(-1.0, -1.0)),     # negative: kept
+        (6, _padded(1.0)),            # one-hot: kept
+        (7, _padded(float("nan"), 1.0)),  # NaN
+        (8, [1.0, 0.0]),              # too short (wrong width)
+        (9, _padded(1.0) + [0.0]),    # too long (wrong width)
     ]
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
     kept = sorted(
@@ -83,14 +96,32 @@ def test_valid_embedding_contract(spark):
 
 def test_valid_embedding_sql_twin_matches():
     """The DuckDB predicate keeps exactly the same vectors (including the
-    NULL-first-conjunct guard that shields list_dot_product)."""
+    NULL-first-conjunct guard that shields list_dot_product and the
+    EMB_DIM width conjunct)."""
     import duckdb
 
+    def lit(vec):
+        if vec is None:
+            return "NULL"
+        vals = ", ".join("'nan'::FLOAT" if v != v else repr(v) for v in vec)
+        return f"[{vals}]"
+
+    rows = [
+        (1, _padded()),
+        (2, None),
+        (3, _padded(2e6)),
+        (4, _padded(1e-30)),
+        (5, _padded(-1.0, -1.0)),
+        (6, _padded(1.0)),
+        (7, _padded(float("nan"), 1.0)),
+        (8, [1.0, 0.0]),
+        (9, _padded(1.0) + [0.0]),
+    ]
     con = duckdb.connect()
     con.execute("CREATE TABLE t (vec_id BIGINT, embedding FLOAT[])")
     con.execute(
-        "INSERT INTO t VALUES (1, [0.0, 0.0]), (2, NULL), (3, [2e6, 0.0]),"
-        " (4, [1e-30, 0.0]), (5, [-1.0, -1.0]), (6, [1.0, 0.0]), (7, ['nan'::FLOAT, 1.0])"
+        "INSERT INTO t VALUES "
+        + ", ".join(f"({i}, {lit(v)})" for i, v in rows)
     )
     kept = [r[0] for r in con.execute(f"SELECT vec_id FROM t WHERE {EMB_VALID_SQL} ORDER BY vec_id").fetchall()]
     assert kept == [4, 5, 6]

@@ -102,15 +102,29 @@ def build_dirty(spark: SparkSession, clean_dir: str, k: int) -> str:
     hazards = _hazard_rows()
     # sentinel is the LAST artifact written (a run killed mid-append must
     # not leave a half-dirty cache dir that passes this check forever) and
-    # is CONTENT-ADDRESSED by the hazard set: extending ADVERSARIAL_* in
-    # adversarial_run.py must invalidate every cached dirty corpus, or the
-    # gate silently keeps measuring the old attack surface.
+    # is CONTENT-ADDRESSED by BOTH inputs: the hazard set (extending
+    # ADVERSARIAL_* must invalidate every cached dirty corpus) and the
+    # clean corpus's own scaler-version marker (a clean-builder change
+    # that regenerates x{k} must not leave a dirty twin built from the
+    # previous clean corpus — the deltas would compare new-clean against
+    # old-dirty and mean nothing).
+    clean_marker = ""
+    marker_path = f"{clean_dir}/_emb_signflip"
+    if os.path.exists(marker_path):
+        with open(marker_path) as fh:
+            clean_marker = fh.read()
     version = hashlib.md5(
-        repr(sorted((t, repr(rows)) for t, rows in hazards.items())).encode()
+        (
+            repr(sorted((t, repr(rows)) for t, rows in hazards.items()))
+            + "|clean:"
+            + clean_marker
+        ).encode()
     ).hexdigest()
     sentinel = f"{out}/_dirty_complete"
-    if os.path.exists(sentinel) and open(sentinel).read().strip() == version:
-        return out
+    if os.path.exists(sentinel):
+        with open(sentinel) as fh:
+            if fh.read().strip() == version:
+                return out
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out)
     for t in TABLE_NAMES:
