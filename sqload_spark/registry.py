@@ -55,65 +55,69 @@ _OPERATOR_MODULES = [
 _loaded = False
 
 # The external correctness driver checks queries in registry order and stops
-# after a fixed window of 50. ROUND-7 rotation (VERDICT r6 "Next round" #1):
-# CORRECTNESS_r06 came back 50/50 hash-green on 50 first-ever names, so the
-# whole r6 window rotates out. This window = the staged r7 recipe verbatim:
-#   1. the 3 never-driver-checked oracled names (etl_zorder_cluster,
-#      q_winsorize, sketch_hll_merge — all 3 judge-MATCH in r6, so this is
-#      conversion, not risk; sketch_hll_merge also carries this round's
-#      NULL-shard count fix, ADVICE r6);
-#   2. the other 3 round-6 checked-twin conversions whose newest external
-#      row predates their oracled form (sketch_count_min r3 rows-only,
-#      q_approx_count_distinct / q_approx_percentile r4 rows-only);
-#   3. all 40 r3-stale hash-green names (tools/coverage_report.py --list),
-#      so after this round no query's newest external row is older than r4;
-#   4. 4 r4 refreshes: the flagship pair (q1_pricing_summary,
-#      q3_shipping_priority), dedup_minhash_lsh, and
-#      dedup_embedding_cosine_banded_pruned — the last one re-rowed
-#      deliberately because round 7 pinned its tier at 8-bit (ADVICE r6
-#      medium: the adaptive width traded recall against an exact oracle).
-# Rows-only-by-design entries (gen_datasource_table, gen_stream_table,
-# dedup_simhash, LSH/IVF recall paths, mm_decode_features) stay out of the
-# window — law-tested in pytest instead.
+# after a fixed window of 50. ROUND-9 rotation (VERDICT r8 "Next round" #1 —
+# the recipe staged for round 8 but never applied; round 8 shipped zero
+# commits, so CORRECTNESS_r08 re-checked r7's identical window):
+#   1. all 43 r4-stale hash-green names (tools/coverage_report.py --list is
+#      authoritative): q5_region_revenue, the set-op block
+#      (q_anti/semi/except/intersect/union), the window-function block
+#      q_window_*, q_string/math/date/json funcs, dedup_exact_groups,
+#      dedup_ngram_jaccard, src_orc_roundtrip, the r4 stream_* and text_*
+#      blocks. The r8 judge ran 12 of exactly these names through the
+#      identical DuckDB comparator: 12/12 MATCH — conversion, not risk.
+#   2. the 2 never-driver-checked staged names (gen_datasource_table,
+#      gen_stream_table) — rows-only by design, but the harness DOES record
+#      rows-only rows inside the window (CORRECTNESS_r04 has one for
+#      sim_topk_hyperplane_lsh_pruned), so they get their first driver row
+#      (VERDICT r8 #4);
+#   3. fill to 50 with the 5 oldest r5 rows in coverage_report --list order
+#      (the dedup_* r5 block head).
+# After this round no query's newest external row is older than r5 and no
+# registered name is never-checked.
+# Rows-only-by-design entries (dedup_simhash, LSH/IVF recall paths,
+# mm_decode_features) stay out of the window — law-tested in pytest instead.
 #
-# ROUND-8 WINDOW RECIPE (verify against CORRECTNESS_r07 first):
-#   1. any name CORRECTNESS_r07 unexpectedly missed or errored;
-#   2. the remaining r4-stale hash-green names not refreshed this round
-#      (~43: q5_region_revenue, q_anti/semi/except/intersect set ops, the
-#      window-function block q_window_*, q_string/math/date/json funcs,
-#      dedup_exact_groups, dedup_ngram_jaccard, src_orc_roundtrip, the
-#      stream_* r4 block, text_* r4 block — coverage_report --list is
-#      authoritative);
-#   3. fill to 50 with the oldest r5 rows (dedup_edit_distance,
-#      dedup_minhash_checked/eval, etl_partition_pruning/scd2/upsert,
-#      q2/q4/q6/q9..q22 TPC-H, sketch_cms_checked, src_csv_corrupt
-#      — again per coverage_report --list order).
+# ROUND-10 WINDOW RECIPE (verify against CORRECTNESS_r09 first):
+#   1. any name CORRECTNESS_r09 unexpectedly missed or errored;
+#   2. the remaining 45 r5-stale hash-green names (dedup_semantic_representative,
+#      dedup_simhash_checked, etl_partition_pruning,
+#      etl_scd2_history, etl_upsert_latest, pipe_rag_corpus, the TPC-H block
+#      q2/q4/q6/q9..q22 + q1_pricing_summary_sqltext, qds_* shapes,
+#      q_embedding_gram, q_join_bucketed_colocated, q_kmeans_*,
+#      q_length_bucketed_batches, q_not_in_null_semantics,
+#      q_partial_agg_merge, q_training_order, sim_crossencoder_rerank,
+#      sim_knn_triangles, sim_mmr_rerank, sketch_cms_checked,
+#      sketch_histogram_merge, src_csv_corrupt_tolerant, src_text_logparse,
+#      stream_stream_left_outer, text_bigram_logprob, text_bm25_topk,
+#      text_tfidf_top_terms — coverage_report --list is authoritative);
+#   3. fill to 50 with the oldest r6 rows per coverage_report --list order
+#      (45 + 5 = 50, so the r6 fill is 5 names).
 # Between driver rounds, `tools/coverage_report.py --sample N [seed]` runs
 # N random oracled queries through the drive_entry comparator (the
 # judge-sample protocol) for standing evidence.
 
 _PRIORITY = [
-    # -- never-driver-checked oracled stragglers (judge-MATCH r6) -----------
-    "etl_zorder_cluster", "q_winsorize", "sketch_hll_merge",
-    # -- r6 checked-twin conversions, external row predates the twin form ---
-    "sketch_count_min", "q_approx_count_distinct", "q_approx_percentile",
-    # -- all 40 r3-stale refreshes (oldest external rows in the registry) ----
-    "dedup_embedding_cosine", "dedup_embedding_cosine_banded",
-    "dedup_keep_list", "etl_jdbc_bulk_load", "etl_partitioned_bulk_load",
-    "mm_payload_stats", "pipe_training_mix", "q_chunk_documents",
-    "q_conditional_agg", "q_correlated_scalar", "q_exists_correlated",
-    "q_from_json_map", "q_grouping_sets", "q_in_subquery", "q_mix_rebalance",
-    "q_pack_sequences", "q_range_join_bands", "q_salted_agg", "q_salted_join",
-    "q_sample_hash", "q_sample_stratified", "q_scalar_subquery",
-    "q_split_leakage_safe", "sim_label_centroids", "sim_topk_bruteforce",
-    "sim_topk_hyperplane_lsh", "src_csv_roundtrip", "src_json_roundtrip",
-    "stream_tumbling_counts", "text_quality_pandas_udf", "text_token_stats",
-    "text_top_terms_applyinpandas", "ts_asof_join", "ts_daily_rate",
-    "ts_first_last_per_user", "ts_moving_avg", "ts_multires_rollup",
-    "ts_sessionize", "ts_sliding_window", "ts_tumbling_window",
-    # -- 4 r4 refreshes (flagships + the re-tiered pruned query) ------------
-    "q1_pricing_summary", "q3_shipping_priority", "dedup_minhash_lsh",
-    "dedup_embedding_cosine_banded_pruned",
+    # -- all 43 r4-stale refreshes (oldest external rows in the registry) ----
+    "dedup_exact_groups", "dedup_ngram_jaccard", "q5_region_revenue",
+    "q_anti_join", "q_count_distinct", "q_cube_returnflag_status",
+    "q_date_funcs", "q_except_custkeys", "q_filter_project", "q_having",
+    "q_intersect_custkeys", "q_json_extract", "q_math_funcs",
+    "q_percentiles", "q_pivot_status", "q_rollup_region_nation",
+    "q_semi_join", "q_stats_moments", "q_string_agg", "q_string_funcs",
+    "q_topk_orders", "q_union_priority_counts", "q_vector_norms",
+    "q_window_distribution", "q_window_first_nth", "q_window_lag_lead",
+    "q_window_rank_dense", "q_window_running_revenue",
+    "q_window_topk_per_customer", "src_orc_roundtrip", "stream_dedup_events",
+    "stream_microbatch_progress", "stream_session_window",
+    "stream_stateful_profile", "text_bpe_regex_tokens",
+    "text_contamination_ngram", "text_langid_markers", "text_md5_fingerprint",
+    "text_quality_score", "text_repetition_filter", "text_rolling_fingerprint",
+    "text_token_counts", "text_top_terms_per_lang",
+    # -- first-ever driver rows for the 2 staged rows-only names -------------
+    "gen_datasource_table", "gen_stream_table",
+    # -- 5 oldest r5 rows to fill the 50-name window -------------------------
+    "dedup_edit_distance", "dedup_minhash_checked", "dedup_minhash_eval",
+    "dedup_pairs_materialized", "dedup_prefix_filter",
 ]
 
 
