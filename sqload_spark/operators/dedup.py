@@ -763,29 +763,24 @@ def _pruned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.unionByName(planted)
 
 
-def _pruned_candidates(corpus: DataFrame, tier: tuple[int, int] | None = None) -> DataFrame:
-    """Hyperplane-banded candidate mining at the high-threshold tuning:
-    wide band values (8-16 bits, vs 2-bit in the low-threshold query)
-    collide for random pairs with prob 2⁻ᵇⁱᵗˢ per band — this is where the
-    pruning power comes from. ``tier`` is (bits, bands): pass it explicitly
-    to pin a configuration (the registered oracle-checked query pins the
-    8-bit tier), or None to scale it with the corpus (_pruned_tier_for;
-    the one count() action is a cheap scan next to the bands·n²/2^bits it
-    controls). Plane rows are drawn from one seeded stream in band order,
-    so the 8-bit/20-band planes are bit-identical to every prior round's.
-    Same plan shape as dedup_embedding_cosine_banded: map-side signatures
-    against broadcast planes, band-equality self-join, distinct."""
+def _pruned_signatures(corpus: DataFrame, bits: int, bands: int) -> DataFrame:
+    """Map-side hyperplane signature pass of the pruned banded-cosine miner:
+    one row per (vec_id, band) with the packed ``bits``-bit band value.
+    Split out of _pruned_candidates so tools/scale_run.py can time the
+    signature pass separately from the band join (VERDICT r8 #2 asks for
+    the 848-plane signature-pass cost share at ≥3×10⁵ vectors). Plane rows
+    are drawn from one seeded stream in band order, so the 8-bit/20-band
+    planes are bit-identical to every prior round's."""
     from sqload_spark.functions.vectors import dot
 
     rng = __import__("numpy").random.RandomState(41)
     spark = corpus.sparkSession
-    bits, bands = tier if tier is not None else _pruned_tier_for(corpus.count())
     n_planes = bits * bands
     planes = spark.createDataFrame(
         [(i, [float(x) for x in row]) for i, row in enumerate(rng.randn(n_planes, 64))],
         "plane int, p array<double>",
     )
-    band_rows = (
+    return (
         corpus.join(F.broadcast(planes))
         .select(
             "vec_id",
@@ -798,6 +793,22 @@ def _pruned_candidates(corpus: DataFrame, tier: tuple[int, int] | None = None) -
         .groupBy("vec_id", "band")
         .agg(F.sum("bit").alias("bv"))
     )
+
+
+def _pruned_candidates(corpus: DataFrame, tier: tuple[int, int] | None = None) -> DataFrame:
+    """Hyperplane-banded candidate mining at the high-threshold tuning:
+    wide band values (8-16 bits, vs 2-bit in the low-threshold query)
+    collide for random pairs with prob 2⁻ᵇⁱᵗˢ per band — this is where the
+    pruning power comes from. ``tier`` is (bits, bands): pass it explicitly
+    to pin a configuration (the registered oracle-checked query pins the
+    8-bit tier), or None to scale it with the corpus (_pruned_tier_for;
+    the one count() action is a cheap scan next to the bands·n²/2^bits it
+    controls). Plane rows are drawn from one seeded stream in band order,
+    so the 8-bit/20-band planes are bit-identical to every prior round's.
+    Same plan shape as dedup_embedding_cosine_banded: map-side signatures
+    against broadcast planes, band-equality self-join, distinct."""
+    bits, bands = tier if tier is not None else _pruned_tier_for(corpus.count())
+    band_rows = _pruned_signatures(corpus, bits, bands)
     a, b = band_rows.alias("a"), band_rows.alias("b")
     return (
         a.join(
