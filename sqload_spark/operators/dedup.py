@@ -712,7 +712,7 @@ def _pruned_tier_for(n_vectors: int) -> tuple[int, int]:
     cos-0.90 pair's recall decays, exactly as production MinHash/SimHash
     configs accept.
 
-    Every tier is MEASURED (BASELINE.md round-6/7 scale tables). At 63 K
+    Every tier is MEASURED (BASELINE.md round-6/7/9 scale tables). At 63 K
     vectors: 8-bit = recall 1.0 at 238 s; 12-bit = recall 0.9907 at 11.1 s
     (the lost pairs are the cos-0.90-0.93 tail of the planted set,
     deterministic). At 105 K vectors: 12-bit/13-band = recall 0.990 at
@@ -722,12 +722,23 @@ def _pruned_tier_for(n_vectors: int) -> tuple[int, int]:
     COUNT: 16-bit × bands_for(16, 0.90, 1e-2) = 53 bands (848 planes, ~5×
     the map-side signature work, collision floor 4× under 12-bit) holds
     the cos-0.90 miss target by construction — measured at 105 K vectors
-    in round 7 (BASELINE.md)."""
+    in round 7 (BASELINE.md). Round 9 measured the next octave (315 K
+    vectors): 16×53's 2⁻¹⁶ collision floor is ~44 M background candidates
+    there (full wall 406 s, signature pass 2.7 s = 0.7% — the floor is the
+    whole cost), while 20-bit × bands_for(20)=100 (2 000 planes, floor 16×
+    lower) measured 182 s at the same 0.9999 recall, so the >2×10⁵ tier is
+    (20, 100). The pattern: each +4 bits of width costs ~2.4× map-side
+    plane work (linear, measured single-digit seconds) and buys a 16×
+    collision-floor cut (quadratic term) — the width that balances them
+    shifts up one notch per ~3× corpus growth, while the band count from
+    bands_for holds the cos-0.90 miss target at every width."""
     if n_vectors <= 20_000:
         return PRUNED_BITS_PER_BAND, PRUNED_N_PLANES // PRUNED_BITS_PER_BAND
     if n_vectors <= 100_000:
         return 12, PRUNED_N_PLANES // 12
-    return 16, bands_for(16, threshold=0.90, target_miss=1e-2)
+    if n_vectors <= 200_000:
+        return 16, bands_for(16, threshold=0.90, target_miss=1e-2)
+    return 20, bands_for(20, threshold=0.90, target_miss=1e-2)
 
 _PRUNED_CORPUS_SQL = f"""
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {_EMB} AS embeddings),
@@ -884,10 +895,12 @@ def embedding_cosine_banded_pruned_scaled(spark: SparkSession, sf_dir: str) -> D
     plan shape and threshold, but the (band width, band count) tier adapts
     to the corpus via _pruned_tier_for — 8-bit/20 up to 20 K vectors
     (recall 1.0), 12-bit/13 to 100 K (recall 0.990, collision floor 16×
-    lower), 16-bit × bands_for(16, 0.90, 1e-2)=53 beyond (the
-    OR-amplification regime: the extra bands hold the cos-0.90 miss
-    probability <= 1e-2 by the LSH formula while the wide bands cut the
-    floor another 16×). Deliberately NOT registered: its recall above 20 K
+    lower), 16-bit × bands_for(16, 0.90, 1e-2)=53 to 200 K, and
+    20-bit × bands_for(20)=100 beyond (the OR-amplification regime: at
+    every width the band count holds the cos-0.90 miss probability
+    <= 1e-2 by the LSH formula while the wider bands cut the collision
+    floor 16× per +4 bits; the 315 K-vector point measured 182 s at
+    recall 0.9999 vs 406 s for 16×53). Deliberately NOT registered: its recall above 20 K
     vectors is a measured 0.99-trade, so checking it against the exact
     all-pairs oracle would institutionalize a known mismatch (ADVICE r6) —
     tools/scale_run.py measures it instead, with planted-pair counts as

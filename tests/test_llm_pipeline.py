@@ -172,9 +172,12 @@ def test_pruned_tier_scales_with_corpus():
     # width CAPS at 12 under the fixed 160-plane budget: a 16-bit tier at
     # that budget measured recall 0.929 at 105 K vectors (vs 12-bit's
     # 0.990) — beyond 100 K the recall-preserving dial is band COUNT
-    # (OR-amplification), so the wide tier carries bands_for's 53 bands
-    assert _pruned_tier_for(500_000) == (16, 53)
-    for n in (210, 63_000, 500_000):
+    # (OR-amplification), so the wide tiers carry bands_for's band counts
+    assert _pruned_tier_for(150_000) == (16, 53)  # measured r7: 105 K recall 0.9998
+    # round-9: at 315 K vectors 16×53's collision floor is ~44 M background
+    # candidates (406 s); 20×100 measured 182 s at the same 0.9999 recall
+    assert _pruned_tier_for(500_000) == (20, 100)
+    for n in (210, 63_000, 150_000, 500_000):
         bits, bands = _pruned_tier_for(n)
         assert bits * bands >= PRUNED_N_PLANES // 2  # never degenerate
         # planted-dup recall law: P(miss every band) stays negligible
