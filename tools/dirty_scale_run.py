@@ -167,6 +167,28 @@ DEFAULT_QUERIES = [
     ("text_rolling_fingerprint", "n/a"),
     ("dedup_exact_spans", "kx"),
     ("dedup_embedding_cosine_banded_pruned_scaled", "n/a"),
+    # round-9 extension (VERDICT r8 #5): the per-user-state ts_* shapes and
+    # the curation block join the gate.
+    # retention triangle / transition matrix: the (cohort, offset) and
+    # (prev, next) grids are replica-identical (user replication keeps
+    # timestamps and per-user sequences), so the row GRID is flat while the
+    # masses scale k×.
+    ("ts_retention_cohorts", "flat"),
+    ("ts_transition_matrix", "flat"),
+    # ts_ewma filters to user_id <= 20: per-replica user offsets keep
+    # replicas 1..k-1 outside the filter BY DESIGN (same reason as
+    # q_window_running_revenue above), so the rows are replica-0-only
+    ("ts_ewma", "flat"),
+    # md5-decision sampling: replica doc_ids differ, so each replica draws
+    # its own ~SAMPLE_RATE subset — statistically k× but not exactly (the
+    # hazard delta must still be exact: hazard ids are fixed)
+    ("q_sample_hash", "n/a"),
+    # one output row per document regardless of which split it lands in,
+    # so the count is exactly k× even though the md5 split assignments and
+    # the near-dup cluster ids differ per replica (measured 5 000 → 50 000)
+    ("q_split_leakage_safe", "kx"),
+    # fixed (source × quality-gate) mix grid — masses scale, grid doesn't
+    ("pipe_training_mix", "flat"),
 ]
 
 
