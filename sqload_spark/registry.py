@@ -92,6 +92,9 @@ _loaded = False
 #      text_tfidf_top_terms — coverage_report --list is authoritative);
 #   3. fill to 50 with the oldest r6 rows per coverage_report --list order
 #      (45 + 5 = 50, so the r6 fill is 5 names).
+# Also drop gen_datasource_table / gen_stream_table from _PRIORITY and from
+# tests/test_registry.py's _STAGED_ROWS_ONLY whitelist once CORRECTNESS_r09
+# gives them their first driver row — the window reverts to all-oracled.
 # Between driver rounds, `tools/coverage_report.py --sample N [seed]` runs
 # N random oracled queries through the drive_entry comparator (the
 # judge-sample protocol) for standing evidence.
