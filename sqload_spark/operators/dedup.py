@@ -723,7 +723,7 @@ def _pruned_tier_for(n_vectors: int) -> tuple[int, int]:
     the map-side signature work, collision floor 4× under 12-bit) holds
     the cos-0.90 miss target by construction — measured at 105 K vectors
     in round 7 (BASELINE.md). Round 9 measured the next octave (315 K
-    vectors): 16×53's 2⁻¹⁶ collision floor is ~44 M background candidates
+    vectors): 16×53's 2⁻¹⁶ collision floor is ~40 M background candidates
     there (full wall 406 s, signature pass 2.7 s = 0.7% — the floor is the
     whole cost), while 20-bit × bands_for(20)=100 (2 000 planes, floor 16×
     lower) measured 182 s at the same 0.9999 recall, so the >2×10⁵ tier is

@@ -174,7 +174,7 @@ def test_pruned_tier_scales_with_corpus():
     # 0.990) — beyond 100 K the recall-preserving dial is band COUNT
     # (OR-amplification), so the wide tiers carry bands_for's band counts
     assert _pruned_tier_for(150_000) == (16, 53)  # measured r7: 105 K recall 0.9998
-    # round-9: at 315 K vectors 16×53's collision floor is ~44 M background
+    # round-9: at 315 K vectors 16×53's collision floor is ~40 M background
     # candidates (406 s); 20×100 measured 182 s at the same 0.9999 recall
     assert _pruned_tier_for(500_000) == (20, 100)
     for n in (210, 63_000, 150_000, 500_000):

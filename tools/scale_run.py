@@ -85,6 +85,15 @@ def _sign_patterns(spark: SparkSession, k: int) -> list:
     _group_sign_patterns, which covers all pairs with O(k) checks."""
     import numpy as np
 
+    # Acceptance probability at pattern i is ≈(1-0.105)^i (measured
+    # per-element fail rate at the 0.72 limit), so the loop below never
+    # terminates for large k — fail loudly instead of hanging silently.
+    if k > 50:
+        raise ValueError(
+            f"pairwise sign-pattern screen cannot reach k={k} "
+            "(geometric acceptance decay; ~0.895^k). Use the group-screened "
+            "embeddings path: build_embeddings_corpus / --emb-tier."
+        )
     if len(_PATTERN_CACHE) >= k:
         return _PATTERN_CACHE[:k]
     U = _unit_corpus(spark)
@@ -141,6 +150,20 @@ def _group_sign_patterns(spark: SparkSession, k: int) -> list:
     the identity (empty bit set ⇒ all-ones pattern)."""
     import numpy as np
 
+    # The j-th basis is accepted only if ALL 2^(j-1) new group elements
+    # pass, so acceptance decays doubly-geometrically in m: at the 0.018
+    # per-element fail rate, m=9 (k≤512) costs ~(1-0.018)^-256 ≈ 100
+    # retries of 256 checks (~10 min of numpy), m=10 ≈ 11 000 retries —
+    # effectively a hang. Fail loudly at the measured practical limit; the
+    # next dial past k=512 is raising GROUP_COS_LIMIT toward the 0.8 count
+    # threshold (smaller fail rate) or screening against a vector coreset.
+    if k > 512:
+        raise ValueError(
+            f"group sign-pattern screen is impractical past k=512 (got k={k}): "
+            "basis acceptance is all-or-nothing over 2^(j-1) elements and "
+            "decays doubly-geometrically. Raise GROUP_COS_LIMIT or shrink "
+            "the screening corpus before going wider."
+        )
     U = _unit_corpus(spark)
     m = max(1, int(np.ceil(np.log2(max(k, 2)))))
     if len(_BASIS_CACHE) < m:
@@ -216,20 +239,7 @@ def build_corpus(spark: SparkSession, k: int) -> str:
     # exactly k× the base count — the same honest-scaling contract as the
     # token-suffix bijection for shingles, with a verified numerical
     # guarantee standing in for the structural one.
-    emb = spark.read.parquet(f"{BASE_SF_DIR}/embeddings.parquet")
-    signs = spark.createDataFrame(
-        [(r, [float(x) for x in s]) for r, s in enumerate(_sign_patterns(spark, k))],
-        "rep bigint, s array<float>",
-    )
-    (
-        emb.join(F.broadcast(signs))
-        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * ID_SPACE)
-        .withColumn("embedding", F.zip_with("embedding", "s", lambda x, y: x * y))
-        .drop("rep", "s")
-        .repartition(32)
-        .write.mode("overwrite")
-        .parquet(f"{out}/embeddings.parquet")
-    )
+    _write_signflip_embeddings(spark, _sign_patterns(spark, k), out)
     # scaler-version marker: cache dirs written by the pre-sign-flip scaler
     # (exact-dupe replicas, invalid for neighbor-structure queries) lack it
     # and must rebuild
@@ -240,21 +250,15 @@ def build_corpus(spark: SparkSession, k: int) -> str:
     return out
 
 
-def build_embeddings_corpus(spark: SparkSession, k: int) -> str:
-    """k× EMBEDDINGS-ONLY corpus for the large-scale ANN tier measurement
-    (VERDICT r8 #2: one measured point at ≥3×10⁵ vectors). Same sign-flip
-    replication contract as build_corpus's embeddings block, but patterns
-    come from the group screen (_group_sign_patterns — the pairwise screen
-    is O(k²) and impractical at k=150) and the other tables are skipped: a
-    150× documents/events/TPC-H build writes ~100M rows this measurement
-    never reads. Separate cache dir (x{k}_emb) so a full build_corpus cache
-    is never half-populated."""
-    out = f"{WORK_DIR}/x{k}_emb"
-    if os.path.exists(f"{out}/_emb_signflip_group"):
-        return out
+def _write_signflip_embeddings(spark: SparkSession, patterns: list, out: str) -> None:
+    """ONE sign-flip replication writer shared by build_corpus and
+    build_embeddings_corpus, parameterized on the pattern source — the two
+    paths implement the same contract, and a dtype/offset fix that reached
+    only one copy would silently desynchronize the emb-tier measurements
+    from the regular scale corpora."""
     emb = spark.read.parquet(f"{BASE_SF_DIR}/embeddings.parquet")
     signs = spark.createDataFrame(
-        [(r, [float(x) for x in s]) for r, s in enumerate(_group_sign_patterns(spark, k))],
+        [(r, [float(x) for x in s]) for r, s in enumerate(patterns)],
         "rep bigint, s array<float>",
     )
     (
@@ -266,8 +270,37 @@ def build_embeddings_corpus(spark: SparkSession, k: int) -> str:
         .write.mode("overwrite")
         .parquet(f"{out}/embeddings.parquet")
     )
-    with open(f"{out}/_emb_signflip_group", "w") as fh:
-        fh.write("v1\n")
+
+
+def _group_screen_version() -> str:
+    """Content-address of the group-screen contract: any change to the
+    limit, seed, or construction must invalidate cached x{k}_emb corpora —
+    an existence-only sentinel would silently reuse corpora whose
+    cross-replica cosine guarantee no longer matches the code (same
+    failure class dirty_scale_run's content-addressed sentinel exists
+    for)."""
+    return f"group-v1|limit={GROUP_COS_LIMIT}|seed=11|xor-basis"
+
+
+def build_embeddings_corpus(spark: SparkSession, k: int) -> str:
+    """k× EMBEDDINGS-ONLY corpus for the large-scale ANN tier measurement
+    (VERDICT r8 #2: one measured point at ≥3×10⁵ vectors). Same sign-flip
+    replication contract as build_corpus's embeddings block (shared
+    writer), but patterns come from the group screen (_group_sign_patterns
+    — the pairwise screen is O(k²) and impractical at k=150) and the other
+    tables are skipped: a 150× documents/events/TPC-H build writes ~100M
+    rows this measurement never reads. Separate cache dir (x{k}_emb) so a
+    full build_corpus cache is never half-populated."""
+    out = f"{WORK_DIR}/x{k}_emb"
+    sentinel = f"{out}/_emb_signflip_group"
+    if os.path.exists(sentinel):
+        with open(sentinel) as fh:
+            if fh.read().strip() == _group_screen_version():
+                return out
+        shutil.rmtree(out, ignore_errors=True)
+    _write_signflip_embeddings(spark, _group_sign_patterns(spark, k), out)
+    with open(sentinel, "w") as fh:
+        fh.write(_group_screen_version() + "\n")
     return out
 
 
@@ -372,6 +405,13 @@ def emb_tier_main(scales: list[int]) -> None:
             )
             cell["sig_sec"] = round(min(cell["sig_sec"], sig), 2)
             cell["full_sec"] = round(min(cell["full_sec"], full), 2)
+            # the row count must be deterministic across passes — a
+            # flapping threshold pair or a stale-cache corpus would
+            # otherwise hide behind the pass-0 value
+            if rows != cell["rows"]:
+                cell["rows_unstable"] = sorted({rows, cell["rows"]})
+                log_msg = f"rows changed across passes at x{k}: {cell['rows_unstable']}"
+                print(json.dumps({"warning": log_msg}), flush=True)
         for c in best.values():
             c["recall"] = round(c["rows"] / c["expected"], 4)
             c["sig_share"] = round(c["sig_sec"] / c["full_sec"], 3)
@@ -391,7 +431,13 @@ def main() -> None:
     args = ap.parse_args()
     if args.emb_tier:
         if args.fresh:
-            shutil.rmtree(WORK_DIR, ignore_errors=True)
+            # scope the delete to the x{k}_emb dirs this branch owns — a
+            # blanket WORK_DIR rmtree would also destroy the full-build
+            # corpora and dirty twins the emb-tier path never rebuilds
+            import glob
+
+            for d in glob.glob(f"{WORK_DIR}/x*_emb"):
+                shutil.rmtree(d, ignore_errors=True)
         emb_tier_main([int(s) for s in args.scales.split(",")])
         return
     if args.fresh:
