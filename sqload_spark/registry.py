@@ -55,72 +55,70 @@ _OPERATOR_MODULES = [
 _loaded = False
 
 # The external correctness driver checks queries in registry order and stops
-# after a fixed window of 50. ROUND-9 rotation (VERDICT r8 "Next round" #1 —
-# the recipe staged for round 8 but never applied; round 8 shipped zero
-# commits, so CORRECTNESS_r08 re-checked r7's identical window):
-#   1. all 43 r4-stale hash-green names (tools/coverage_report.py --list is
-#      authoritative): q5_region_revenue, the set-op block
-#      (q_anti/semi/except/intersect/union), the window-function block
-#      q_window_*, q_string/math/date/json funcs, dedup_exact_groups,
-#      dedup_ngram_jaccard, src_orc_roundtrip, the r4 stream_* and text_*
-#      blocks. The r8 judge ran 12 of exactly these names through the
-#      identical DuckDB comparator: 12/12 MATCH — conversion, not risk.
-#   2. the 2 never-driver-checked staged names (gen_datasource_table,
-#      gen_stream_table) — rows-only by design, but the harness DOES record
-#      rows-only rows inside the window (CORRECTNESS_r04 has one for
-#      sim_topk_hyperplane_lsh_pruned), so they get their first driver row
-#      (VERDICT r8 #4);
-#   3. fill to 50 with the 5 oldest r5 rows in coverage_report --list order
-#      (the dedup_* r5 block head).
-# After this round no query's newest external row is older than r5 and no
-# registered name is never-checked.
+# after a fixed window of 50. ROUND-10 rotation (VERDICT r9 "Next round" #1,
+# executing the recipe staged here last round). CORRECTNESS_r09 came back
+# 48/50 hash-green + 2 rows-only BY DESIGN (gen_datasource_table /
+# gen_stream_table received their first-ever driver rows, 10 000 each) with
+# zero failures, so step 1 of the recipe ("any name r09 missed or errored")
+# contributes nothing and the window is exactly:
+#   1. the 45 r5-stale hash-green names (every name whose newest external
+#      row was CORRECTNESS_r05 — tools/coverage_report.py --list was
+#      authoritative at staging time);
+#   2. fill to 50 with the 5 oldest r6 rows in coverage_report --list order
+#      (the dedup_* r6 block head).
+# gen_datasource_table / gen_stream_table are dropped from _PRIORITY and
+# tests/test_registry.py's _STAGED_ROWS_ONLY whitelist is deleted — the
+# round-5 all-oracled-window policy is back in force with no exceptions.
+# After this round no query's newest external row is older than r6.
 # Rows-only-by-design entries (dedup_simhash, LSH/IVF recall paths,
-# mm_decode_features) stay out of the window — law-tested in pytest instead.
+# mm_decode_features, the generator tables) stay out of the window —
+# law-tested in pytest instead.
 #
-# ROUND-10 WINDOW RECIPE (verify against CORRECTNESS_r09 first):
-#   1. any name CORRECTNESS_r09 unexpectedly missed or errored;
-#   2. the remaining 45 r5-stale hash-green names (dedup_semantic_representative,
-#      dedup_simhash_checked, etl_partition_pruning,
-#      etl_scd2_history, etl_upsert_latest, pipe_rag_corpus, the TPC-H block
-#      q2/q4/q6/q9..q22 + q1_pricing_summary_sqltext, qds_* shapes,
-#      q_embedding_gram, q_join_bucketed_colocated, q_kmeans_*,
-#      q_length_bucketed_batches, q_not_in_null_semantics,
-#      q_partial_agg_merge, q_training_order, sim_crossencoder_rerank,
-#      sim_knn_triangles, sim_mmr_rerank, sketch_cms_checked,
-#      sketch_histogram_merge, src_csv_corrupt_tolerant, src_text_logparse,
-#      stream_stream_left_outer, text_bigram_logprob, text_bm25_topk,
-#      text_tfidf_top_terms — coverage_report --list is authoritative);
-#   3. fill to 50 with the oldest r6 rows per coverage_report --list order
-#      (45 + 5 = 50, so the r6 fill is 5 names).
-# Also drop gen_datasource_table / gen_stream_table from _PRIORITY and from
-# tests/test_registry.py's _STAGED_ROWS_ONLY whitelist once CORRECTNESS_r09
-# gives them their first driver row — the window reverts to all-oracled.
+# ROUND-11 WINDOW RECIPE (verify against CORRECTNESS_r10 first):
+#   1. any name CORRECTNESS_r10 unexpectedly missed or errored;
+#   2. the remaining 45 r6-stale hash-green names (the r6 block minus the 5
+#      used as round-10 fill: etl_constraint_check,
+#      etl_dynamic_partition_overwrite, etl_file_sizing, mm_dedup_payload,
+#      mm_frame_sample, pipe_output_manifest, q7/q8, q_array_higher_order,
+#      q_equidepth_histogram, q_mode_per_group, q_profile_columns,
+#      q_sample_temperature, q_source_quota_cap, q_token_histogram,
+#      q_unpivot_measures, q_window_ntile_bands, q_window_range_frame,
+#      sim_knn_graph, sim_pagerank_knn, sim_topk_blas, sim_vector_quantize,
+#      src_schema_evolution, the stream_* r6 block, text_gopher_quality,
+#      text_inverted_index, text_pii_scrub, text_quality_arrow_udf,
+#      text_unigram_logprob, text_vocab_coverage, the ts_* block —
+#      coverage_report --list is authoritative);
+#   3. fill to 50 with the 5 oldest r8 rows per coverage_report --list order.
+# After round 11 no name's newest external row is older than r8 and the
+# whole 193-oracle surface has been externally re-checked within 4 rounds —
+# from round 12 on, the rotation is steady-state: always the 50 stalest
+# hash-green names per coverage_report --list.
 # Between driver rounds, `tools/coverage_report.py --sample N [seed]` runs
 # N random oracled queries through the drive_entry comparator (the
 # judge-sample protocol) for standing evidence.
 
 _PRIORITY = [
-    # -- all 43 r4-stale refreshes (oldest external rows in the registry) ----
-    "dedup_exact_groups", "dedup_ngram_jaccard", "q5_region_revenue",
-    "q_anti_join", "q_count_distinct", "q_cube_returnflag_status",
-    "q_date_funcs", "q_except_custkeys", "q_filter_project", "q_having",
-    "q_intersect_custkeys", "q_json_extract", "q_math_funcs",
-    "q_percentiles", "q_pivot_status", "q_rollup_region_nation",
-    "q_semi_join", "q_stats_moments", "q_string_agg", "q_string_funcs",
-    "q_topk_orders", "q_union_priority_counts", "q_vector_norms",
-    "q_window_distribution", "q_window_first_nth", "q_window_lag_lead",
-    "q_window_rank_dense", "q_window_running_revenue",
-    "q_window_topk_per_customer", "src_orc_roundtrip", "stream_dedup_events",
-    "stream_microbatch_progress", "stream_session_window",
-    "stream_stateful_profile", "text_bpe_regex_tokens",
-    "text_contamination_ngram", "text_langid_markers", "text_md5_fingerprint",
-    "text_quality_score", "text_repetition_filter", "text_rolling_fingerprint",
-    "text_token_counts", "text_top_terms_per_lang",
-    # -- first-ever driver rows for the 2 staged rows-only names -------------
-    "gen_datasource_table", "gen_stream_table",
-    # -- 5 oldest r5 rows to fill the 50-name window -------------------------
-    "dedup_edit_distance", "dedup_minhash_checked", "dedup_minhash_eval",
-    "dedup_pairs_materialized", "dedup_prefix_filter",
+    # -- the 45 r5-stale refreshes (oldest external rows in the registry) ----
+    "dedup_semantic_representative", "dedup_simhash_checked",
+    "etl_partition_pruning", "etl_scd2_history", "etl_upsert_latest",
+    "pipe_rag_corpus", "q10_returned_items", "q11_important_stock",
+    "q12_shipmode_priority", "q13_customer_distribution", "q14_promo_share",
+    "q15_top_supplier", "q16_parts_supplier_count",
+    "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_predicates", "q1_pricing_summary_sqltext",
+    "q20_excess_supply", "q21_waiting_suppliers", "q22_global_sales",
+    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
+    "q9_product_profit", "q_embedding_gram", "q_join_bucketed_colocated",
+    "q_kmeans_assign", "q_kmeans_refine", "q_length_bucketed_batches",
+    "q_not_in_null_semantics", "q_partial_agg_merge", "q_training_order",
+    "qds_hour_bands", "qds_yoy_ratio", "sim_crossencoder_rerank",
+    "sim_knn_triangles", "sim_mmr_rerank", "sketch_cms_checked",
+    "sketch_histogram_merge", "src_csv_corrupt_tolerant", "src_text_logparse",
+    "stream_stream_left_outer", "text_bigram_logprob", "text_bm25_topk",
+    "text_tfidf_top_terms",
+    # -- 5 oldest r6 rows to fill the 50-name window -------------------------
+    "dedup_cluster_sizes", "dedup_cross_source_matrix", "dedup_exact_spans",
+    "dedup_incremental_shard", "dedup_keep_list_weighted",
 ]
 
 

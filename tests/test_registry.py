@@ -18,21 +18,12 @@ def test_priority_has_no_duplicates():
     assert len(registry._PRIORITY) == len(set(registry._PRIORITY))
 
 
-# Round-9 exception to the round-5 all-oracled-window policy (VERDICT r8
-# #4): these two rows-only-BY-DESIGN generator tables have never received
-# a driver row, and the harness does record rows-only entries inside the
-# window (CORRECTNESS_r04 has one for sim_topk_hyperplane_lsh_pruned), so
-# they occupy two slots THIS round to retire the "never-checked" bucket.
-# Remove them from _PRIORITY (and from this whitelist) at the round-10
-# rotation.
-_STAGED_ROWS_ONLY = {"gen_datasource_table", "gen_stream_table"}
-
-
 def test_driver_window_is_fully_hash_checkable():
     """Round-5 window policy: all 50 window slots carry DuckDB oracles —
-    rows-only entries give the weaker check and belong after the fold
-    (round-9 exception above)."""
+    rows-only entries give the weaker check and belong after the fold.
+    (The round-9 staged exception for the two generator tables was unwound
+    at the round-10 rotation once CORRECTNESS_r09 recorded their first
+    driver rows; the policy is back in force with no whitelist.)"""
     window = list(registry.all_queries())[:50]
     rows_only = [n for n in window if n not in registry.ORACLES]
-    stray = [n for n in rows_only if n not in _STAGED_ROWS_ONLY]
-    assert not stray, f"rows-only queries occupying window slots: {stray}"
+    assert not rows_only, f"rows-only queries occupying window slots: {rows_only}"
