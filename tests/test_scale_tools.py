@@ -9,12 +9,13 @@ the measurement harness itself.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
 import pytest
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 import scale_run as sr  # noqa: E402
 
@@ -82,3 +83,52 @@ def test_pattern_screens_fail_loudly_past_their_walls(fake_corpus):
         sr._sign_patterns(None, 51)
     with pytest.raises(ValueError, match="group sign-pattern screen"):
         sr._group_sign_patterns(None, 513)
+
+
+def test_corpus_patterns_route_by_k(fake_corpus, monkeypatch):
+    """build_corpus's pattern source: pairwise stream up to k=50 (keeps
+    historical cache dirs valid), group stream beyond (ADVICE r9 — the
+    full-corpus builder must not be walled at 50× when only the embeddings
+    table depends on patterns at all)."""
+    calls = []
+    monkeypatch.setattr(
+        sr, "_sign_patterns", lambda spark, k: calls.append(("pair", k)) or ["p"] * k
+    )
+    monkeypatch.setattr(
+        sr,
+        "_group_sign_patterns",
+        lambda spark, k: calls.append(("group", k)) or ["g"] * k,
+    )
+    assert sr._corpus_patterns(None, 50) == ["p"] * 50
+    assert sr._corpus_patterns(None, 51) == ["g"] * 51
+    assert calls == [("pair", 50), ("group", 51)]
+
+
+def test_signflip_marker_distinguishes_pattern_streams(tmp_path):
+    """A cache dir built by one pattern stream must not satisfy the other's
+    marker check, and the group variant is content-addressed by the screen
+    contract (limit/seed/construction)."""
+    assert sr._signflip_marker(50) == "v2"
+    assert sr._signflip_marker(51) != "v2"
+    assert sr._group_screen_version() in sr._signflip_marker(51)
+    m = tmp_path / "_emb_signflip"
+    m.write_text(sr._signflip_marker(50) + "\n")
+    assert sr._marker_matches(str(m), sr._signflip_marker(50))
+    assert not sr._marker_matches(str(m), sr._signflip_marker(51))
+    assert not sr._marker_matches(str(tmp_path / "missing"), "v2")
+
+
+def test_unstable_emb_tier_cell_nulls_recall():
+    """ADVICE r9: when rows flap across passes the cell must not report the
+    pass-0 recall as a clean figure — recall goes None with one recall per
+    observed row count (mirrors the emb_tier_main post-pass block)."""
+    cell = {"rows": 100, "expected": 100, "rows_unstable": [98, 100],
+            "sig_sec": 1.0, "full_sec": 4.0}
+    # replicate emb_tier_main's per-pass summary logic on one cell
+    if "rows_unstable" in cell:
+        cell["recall"] = None
+        cell["recall_by_rows"] = {
+            str(r): round(r / cell["expected"], 4) for r in cell["rows_unstable"]
+        }
+    assert cell["recall"] is None
+    assert cell["recall_by_rows"] == {"98": 0.98, "100": 1.0}

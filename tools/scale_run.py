@@ -24,6 +24,13 @@ pass, then best-of-2 per cell — cold-JVM first runs measure 2.6× their
 warmed time) and prints one JSON line per (query, scale) for BASELINE.md's
 scaling table.
 
+MEASUREMENT RULE (VERDICT r9 #7): scale-wall numbers are comparable
+WITHIN ONE SESSION ONLY — a controlled re-run of unchanged bytes on an
+unchanged corpus has measured a 2× host swing between rounds (59.4 s vs
+the 31.4 s r7 record). Tier decisions (`_pruned_tier_for` branches,
+band/width choices) must rest on cells measured in the SAME session,
+never on a comparison against a previous round's absolute number.
+
 Usage: python tools/scale_run.py [--scales 1,3,10]
 """
 
@@ -91,8 +98,9 @@ def _sign_patterns(spark: SparkSession, k: int) -> list:
     if k > 50:
         raise ValueError(
             f"pairwise sign-pattern screen cannot reach k={k} "
-            "(geometric acceptance decay; ~0.895^k). Use the group-screened "
-            "embeddings path: build_embeddings_corpus / --emb-tier."
+            "(geometric acceptance decay; ~0.895^k). Use "
+            "_group_sign_patterns — build_corpus and "
+            "build_embeddings_corpus already route k>50 through it."
         )
     if len(_PATTERN_CACHE) >= k:
         return _PATTERN_CACHE[:k]
@@ -187,6 +195,24 @@ def _group_sign_patterns(spark: SparkSession, k: int) -> list:
     return pats
 
 
+def _signflip_marker(k: int) -> str:
+    """Cache-marker content for a k× corpus's embeddings. The pattern STREAM
+    differs by k (pairwise greedy screen ≤50, group screen above — the
+    pairwise screen's acceptance decays geometrically and cannot reach
+    large k), so the marker must distinguish them: a dir built by one
+    stream is not a valid cache hit for the other, and the group variant is
+    content-addressed by the same screen-contract string as x{k}_emb."""
+    return "v2" if k <= 50 else f"v2-{_group_screen_version()}"
+
+
+def _corpus_patterns(spark: SparkSession, k: int) -> list:
+    """Pattern source for build_corpus: pairwise-screened up to k=50 (the
+    historical stream — keeps existing cache dirs valid), group-screened
+    beyond (ADVICE r9: the non-embedding tables don't depend on patterns at
+    all, so a full corpus >50× must not be blocked by the pairwise wall)."""
+    return _sign_patterns(spark, k) if k <= 50 else _group_sign_patterns(spark, k)
+
+
 def build_corpus(spark: SparkSession, k: int) -> str:
     """Write a k× documents corpus; returns its sf_dir. Cached across runs."""
     out = f"{WORK_DIR}/x{k}"
@@ -195,8 +221,9 @@ def build_corpus(spark: SparkSession, k: int) -> str:
     # embeddings writes must not leave a cache dir that passes the
     # completeness check forever, and pre-sign-flip cache dirs (exact-dupe
     # embedding replicas, invalid for neighbor-structure queries) must
-    # rebuild
-    if os.path.exists(f"{out}/_emb_signflip"):
+    # rebuild. Marker CONTENT is checked (not just existence) because the
+    # k>50 group-pattern stream differs from the ≤50 pairwise stream.
+    if _marker_matches(f"{out}/_emb_signflip", _signflip_marker(k)):
         # older cached dirs predate the events / TPC-H tables
         build_events(spark, k, out)
         build_tpch(spark, k, out)
@@ -239,15 +266,22 @@ def build_corpus(spark: SparkSession, k: int) -> str:
     # exactly k× the base count — the same honest-scaling contract as the
     # token-suffix bijection for shingles, with a verified numerical
     # guarantee standing in for the structural one.
-    _write_signflip_embeddings(spark, _sign_patterns(spark, k), out)
+    _write_signflip_embeddings(spark, _corpus_patterns(spark, k), out)
     # scaler-version marker: cache dirs written by the pre-sign-flip scaler
     # (exact-dupe replicas, invalid for neighbor-structure queries) lack it
     # and must rebuild
     with open(f"{out}/_emb_signflip", "w") as fh:
-        fh.write("v2\n")
+        fh.write(_signflip_marker(k) + "\n")
     build_events(spark, k, out)
     build_tpch(spark, k, out)
     return out
+
+
+def _marker_matches(path: str, expected: str) -> bool:
+    if not os.path.exists(path):
+        return False
+    with open(path) as fh:
+        return fh.read().strip() == expected
 
 
 def _write_signflip_embeddings(spark: SparkSession, patterns: list, out: str) -> None:
@@ -413,7 +447,16 @@ def emb_tier_main(scales: list[int]) -> None:
                 log_msg = f"rows changed across passes at x{k}: {cell['rows_unstable']}"
                 print(json.dumps({"warning": log_msg}), flush=True)
         for c in best.values():
-            c["recall"] = round(c["rows"] / c["expected"], 4)
+            # an unstable cell must not read as a clean datapoint: null the
+            # recall and report one recall per OBSERVED row count instead
+            # (ADVICE r9 — the pass-0 rows silently owned the figure before)
+            if "rows_unstable" in c:
+                c["recall"] = None
+                c["recall_by_rows"] = {
+                    str(r): round(r / c["expected"], 4) for r in c["rows_unstable"]
+                }
+            else:
+                c["recall"] = round(c["rows"] / c["expected"], 4)
             c["sig_share"] = round(c["sig_sec"] / c["full_sec"], 3)
         print(json.dumps({"pass": _pass, "cells": list(best.values())}), flush=True)
     print(json.dumps({"all": list(best.values())}))
