@@ -806,7 +806,11 @@ def _pruned_signatures(corpus: DataFrame, bits: int, bands: int) -> DataFrame:
     )
 
 
-def _pruned_candidates(corpus: DataFrame, tier: tuple[int, int] | None = None) -> DataFrame:
+def _pruned_candidates(
+    corpus: DataFrame,
+    tier: tuple[int, int] | None = None,
+    band_partitions: int | None = None,
+) -> DataFrame:
     """Hyperplane-banded candidate mining at the high-threshold tuning:
     wide band values (8-16 bits, vs 2-bit in the low-threshold query)
     collide for random pairs with prob 2⁻ᵇⁱᵗˢ per band — this is where the
@@ -817,9 +821,28 @@ def _pruned_candidates(corpus: DataFrame, tier: tuple[int, int] | None = None) -
     controls). Plane rows are drawn from one seeded stream in band order,
     so the 8-bit/20-band planes are bit-identical to every prior round's.
     Same plan shape as dedup_embedding_cosine_banded: map-side signatures
-    against broadcast planes, band-equality self-join, distinct."""
+    against broadcast planes, band-equality self-join, distinct.
+
+    ``band_partitions`` is the cluster-scale dial the 630 K-vector analysis
+    identified (BASELINE.md round-9 scale section): past ~10⁶ vectors the
+    binding cost is the band-join SHUFFLE (the bands·n²/2^bits candidate
+    stream all routes through spark.sql.shuffle.partitions-many sort/join
+    partitions), not the plane budget — so the remedy is partitioning the
+    band keyspace finer, not widening the code. When set, the signature
+    rows are hash-repartitioned on the exact join key (band, bv) into that
+    many partitions, and that REPARTITION_BY_NUM exchange IS the join
+    exchange — no second shuffle stacks on top (asserted by the plan
+    test). Measured Spark 4 caveat: the dial only WIDENS — EnsureRequire-
+    ments' co-partition selection floors a user number below the session
+    shuffle-partition conf back up to the conf (7→32 observed; 64 sticks).
+    That matches the remedy's direction (finer, never coarser), but a
+    sweep must raise the conf too if it wants points below the default.
+    None (the default, and the registered query's only mode) leaves the
+    exchange to the session shuffle-partition conf + AQE coalescing."""
     bits, bands = tier if tier is not None else _pruned_tier_for(corpus.count())
     band_rows = _pruned_signatures(corpus, bits, bands)
+    if band_partitions:
+        band_rows = band_rows.repartition(band_partitions, "band", "bv")
     a, b = band_rows.alias("a"), band_rows.alias("b")
     return (
         a.join(
@@ -904,9 +927,24 @@ def embedding_cosine_banded_pruned_scaled(spark: SparkSession, sf_dir: str) -> D
     vectors is a measured 0.99-trade, so checking it against the exact
     all-pairs oracle would institutionalize a known mismatch (ADVICE r6) —
     tools/scale_run.py measures it instead, with planted-pair counts as
-    ground truth (rows = k×100 exactly when recall is 1.0)."""
+    ground truth (rows = k×100 exactly when recall is 1.0).
+
+    The band-join shuffle dial (see _pruned_candidates) is exposed here via
+    SQLOAD_BAND_SHUFFLE_PARTITIONS for callers that only see the (spark,
+    sf_dir) signature — e.g. dirty_scale_run's lookup table; the sweep
+    harness (tools/scale_run.py --band-sweep) calls _pruned_candidates
+    directly with the same parameter. Unset (the default) keeps the
+    session shuffle-partition conf + AQE, so nothing changes for callers
+    that don't opt in; the count()-based tier probe is unaffected either
+    way (row counts are partitioning-invariant, law-tested)."""
+    import os
+
     corpus = _pruned_corpus(spark, sf_dir)
-    return _pruned_rerank(corpus, _pruned_candidates(corpus, tier=None))
+    env = os.environ.get("SQLOAD_BAND_SHUFFLE_PARTITIONS")
+    return _pruned_rerank(
+        corpus,
+        _pruned_candidates(corpus, tier=None, band_partitions=int(env) if env else None),
+    )
 
 
 @query("dedup_embedding_cosine_banded", oracle=_EMB_COSINE_ORACLE)

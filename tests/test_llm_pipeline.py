@@ -366,3 +366,41 @@ def test_component_labels_match_union_find_on_random_graphs(spark):
         pairs = spark.createDataFrame(sorted(edges), ["doc_a", "doc_b"])
         got = {r.doc_id: r.keep_doc_id for r in _labels_from_pairs(pairs).collect()}
         assert got == expected
+
+
+def test_band_shuffle_dial_partitions_and_row_invariance(spark):
+    """The past-10⁶-vector band-join shuffle dial (VERDICT r9 #5): with
+    band_partitions=N above the session conf, the candidate self-join's
+    exchanges are REPARTITION_BY_NUM hashpartitioning(band, bv, N) — the
+    user shuffle IS the join exchange, no ENSURE_REQUIREMENTS shuffle over
+    (band, bv) stacks on top. Below the conf, EnsureRequirements floors the
+    number back to the conf (measured 7→32) — the dial only widens, which
+    matches the remedy's direction. Either way the dial is semantics-free:
+    candidate pairs are identical with it on, off, or at another N."""
+    from sqload_spark.operators.dedup import _pruned_candidates, _pruned_corpus
+
+    corpus = _pruned_corpus(spark, SF_DIR)
+    tier = (8, 20)
+    n_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_dial = n_conf * 2
+    dialed = _pruned_candidates(corpus, tier=tier, band_partitions=n_dial)
+    plan = dialed._sc._jvm.PythonSQLUtils.explainString(
+        dialed._jdf.queryExecution(), "extended"
+    )
+    band_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning(band" in ln
+    ]
+    assert band_exchanges, plan[-2000:]
+    for ln in band_exchanges:
+        assert f", {n_dial})" in ln and "REPARTITION_BY_NUM" in ln, ln
+    # floor behavior: a below-conf dial is bumped to the conf, never kept
+    floored = _pruned_candidates(corpus, tier=tier, band_partitions=max(2, n_conf // 4))
+    fplan = floored._sc._jvm.PythonSQLUtils.explainString(
+        floored._jdf.queryExecution(), "extended"
+    )
+    for ln in fplan.splitlines():
+        if "Exchange hashpartitioning(band" in ln:
+            assert f", {n_conf})" in ln, ln
+    base = {tuple(r) for r in _pruned_candidates(corpus, tier=tier).collect()}
+    assert {tuple(r) for r in dialed.collect()} == base
+    assert {tuple(r) for r in floored.collect()} == base

@@ -6,10 +6,12 @@ staleness report the round judges track. Usage:
     python tools/coverage_report.py --list     # per-query lines
     python tools/coverage_report.py --window   # what the current window converts
     python tools/coverage_report.py --sample N [seed]
-        # judge-sample protocol (VERDICT r5 #7): run N random
-        # never-driver-checked oracled queries through the drive_entry
-        # comparator (check_queries.py subprocess) and print MATCH /
-        # MISMATCH — standing independent evidence between driver rounds.
+        # judge-sample protocol (VERDICT r5 #7, widened r10): run N
+        # random oracled queries through the drive_entry comparator
+        # (check_queries.py subprocess) and print MATCH / MISMATCH —
+        # standing independent evidence between driver rounds. Draws from
+        # the never-driver-checked bucket while one exists (none since
+        # r9), else from the whole oracled surface.
 """
 
 from __future__ import annotations
@@ -88,13 +90,18 @@ def main() -> None:
             except ValueError:
                 print("usage: coverage_report.py --sample N [seed]")
                 sys.exit(2)
+        # pool: never-checked oracled queries while any remain (the original
+        # r5 protocol); once that bucket is empty (true since r9), the whole
+        # oracled surface — the between-rounds judge-sample then guards
+        # against staleness-as-risk instead of never-checked-as-risk
         pool = sorted(n for n in qs if n not in latest and n in os_)
+        label = "never-checked oracled"
         if not pool:
-            print("\n--sample: no never-checked oracled queries remain")
-            return
+            pool = sorted(n for n in qs if n in os_)
+            label = "oracled (never-checked bucket empty)"
         picked = random.Random(seed).sample(pool, min(n_sample, len(pool)))
-        print(f"\n--sample: {len(picked)} of {len(pool)} never-checked "
-              f"oracled queries (seed={seed}):\n  " + "\n  ".join(picked))
+        print(f"\n--sample: {len(picked)} of {len(pool)} {label} "
+              f"queries (seed={seed}):\n  " + "\n  ".join(picked))
         rc = subprocess.call(
             [sys.executable, os.path.join(os.path.dirname(__file__),
                                           "check_queries.py"), *picked]

@@ -462,6 +462,70 @@ def emb_tier_main(scales: list[int]) -> None:
     print(json.dumps({"all": list(best.values())}))
 
 
+def band_sweep_main(scale: int, dials: list[int]) -> None:
+    """Shuffle-partition sweep over the ANN band join at ONE embeddings
+    scale (VERDICT r9 #5): the 630 K-vector analysis named the band-join
+    shuffle as the binding cost past ~10⁶ vectors and 'partition the band
+    keyspace finer' as the remedy — this measures whether the
+    band_partitions dial (dedup._pruned_candidates) actually moves the
+    wall, instead of asserting it. Dial 0 = off (session conf + AQE, the
+    tier table's historical geometry). Row counts must be IDENTICAL across
+    dials (the dial is semantics-free by law test); a flap fails the sweep.
+    Two separated passes, min per cell (same stall rationale as main).
+    Within-session rule applies: compare cells of one sweep run only."""
+    spark = get_spark("sqload_scale_run")
+    from sqload_spark.operators.dedup import (
+        _pruned_candidates,
+        _pruned_corpus,
+        _pruned_rerank,
+        _pruned_tier_for,
+    )
+
+    corpus = _pruned_corpus(spark, build_embeddings_corpus(spark, scale))
+    n = corpus.count()
+    bits, bands = _pruned_tier_for(n)
+
+    def wall(dial: int) -> tuple[float, int]:
+        cand = _pruned_candidates(
+            corpus, tier=(bits, bands), band_partitions=dial or None
+        )
+        t0 = time.monotonic()
+        rows = _pruned_rerank(corpus, cand).count()
+        return round(time.monotonic() - t0, 1), rows
+
+    # warm the codegen/shuffle path on the small 2× emb corpus, untimed
+    small = _pruned_corpus(spark, build_embeddings_corpus(spark, 2))
+    _pruned_rerank(small, _pruned_candidates(small, tier=(bits, bands))).count()
+
+    cells = {d: {"dial": d, "sec": float("inf"), "rows": None} for d in dials}
+    failures: list[str] = []
+    for _pass in range(2):
+        for d in dials:
+            sec, rows = wall(d)
+            c = cells[d]
+            c["sec"] = round(min(c["sec"], sec), 1)
+            if c["rows"] is not None and rows != c["rows"]:
+                failures.append(f"dial {d}: rows flapped {c['rows']} -> {rows}")
+            c["rows"] = rows
+            print(
+                json.dumps({"pass": _pass, "dial": d, "sec": sec, "rows": rows}),
+                flush=True,
+            )
+    counts = {c["rows"] for c in cells.values()}
+    if len(counts) > 1:
+        failures.append(f"rows differ across dials: { {d: c['rows'] for d, c in cells.items()} }")
+    print(
+        json.dumps(
+            {
+                "scale": scale, "vectors": n, "bits": bits, "bands": bands,
+                "cells": list(cells.values()),
+                "verdict": "PASS" if not failures else "FAIL",
+                "failures": failures,
+            }
+        )
+    )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,3,10")
@@ -471,7 +535,16 @@ def main() -> None:
         "--emb-tier", action="store_true",
         help="ANN tier measurement on embeddings-only corpora (see emb_tier_main)",
     )
+    ap.add_argument(
+        "--band-sweep", default=None, metavar="SCALE",
+        help="band-join shuffle-partition sweep at one embeddings scale "
+             "(see band_sweep_main); --dials picks the partition counts",
+    )
+    ap.add_argument("--dials", default="0,96,256")
     args = ap.parse_args()
+    if args.band_sweep:
+        band_sweep_main(int(args.band_sweep), [int(d) for d in args.dials.split(",")])
+        return
     if args.emb_tier:
         if args.fresh:
             # scope the delete to the x{k}_emb dirs this branch owns — a
