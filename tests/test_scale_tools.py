@@ -132,3 +132,13 @@ def test_unstable_emb_tier_cell_nulls_recall():
         }
     assert cell["recall"] is None
     assert cell["recall_by_rows"] == {"98": 0.98, "100": 1.0}
+
+
+def test_parse_tiers_roundtrip_and_rejects_malformed():
+    """--tiers parsing (tier_compare_main's input): BITSxBANDS list, loud
+    failure on malformed specs BEFORE any corpus build starts."""
+    assert sr._parse_tiers("20x100,24x188") == [(20, 100), (24, 188)]
+    assert sr._parse_tiers("8X20") == [(8, 20)]  # case-insensitive
+    for bad in ("20", "20x", "x100", "20x100x5", "20xab", "0x100", "20x0"):
+        with pytest.raises(ValueError):
+            sr._parse_tiers(bad)

@@ -526,6 +526,91 @@ def band_sweep_main(scale: int, dials: list[int]) -> None:
     )
 
 
+def _parse_tiers(spec: str) -> list[tuple[int, int]]:
+    """'20x100,24x188' -> [(20, 100), (24, 188)]. Validates both numbers are
+    positive ints — a malformed spec must fail before the corpus build, not
+    40 minutes into a measurement."""
+    tiers = []
+    for t in spec.split(","):
+        parts = t.lower().split("x")
+        if len(parts) != 2 or not all(p.isdigit() for p in parts):
+            raise ValueError(f"tier spec must be BITSxBANDS (got {t!r})")
+        bits, bands = int(parts[0]), int(parts[1])
+        if bits <= 0 or bands <= 0:
+            raise ValueError(f"tier spec must be positive (got {t!r})")
+        tiers.append((bits, bands))
+    return tiers
+
+
+def tier_compare_main(scale: int, tiers: list[tuple[int, int]], passes: int) -> None:
+    """Head-to-head of EXPLICIT (bits, bands) tiers at ONE embeddings scale
+    — the measure-before-shipping harness for _pruned_tier_for's next
+    branch. emb_tier_main measures whatever tier the function already
+    picks; this measures CANDIDATE tiers the function doesn't pick yet
+    (e.g. 24x188 at the 1.26 M-vector octave, where the 20-bit collision
+    floor quadruples per octave while the 24-bit band-join input only
+    doubles — the 630 K rejection of 24-bit may flip). Separated passes,
+    min per cell, sig-pass wall reported, rows vs the k*100 planted ground
+    truth; a cross-pass row flap nulls the recall (same rule as
+    emb_tier_main). Within-session rule applies: compare cells of one run
+    only, never against a previous round's absolute walls."""
+    spark = get_spark("sqload_scale_run")
+    from sqload_spark.operators.dedup import (
+        _pruned_candidates,
+        _pruned_corpus,
+        _pruned_rerank,
+        _pruned_signatures,
+    )
+
+    corpus = _pruned_corpus(spark, build_embeddings_corpus(spark, scale))
+    n = corpus.count()
+    # warm codegen/shuffle on the small 2x corpus, untimed (cold-JVM first
+    # runs measure 2.6x their warmed time — same rationale as main)
+    small = _pruned_corpus(spark, build_embeddings_corpus(spark, 2))
+    for bits, bands in tiers:
+        _pruned_rerank(small, _pruned_candidates(small, tier=(bits, bands))).count()
+
+    cells: dict[tuple[int, int], dict] = {}
+    for _pass in range(passes):
+        for bits, bands in tiers:
+            t0 = time.monotonic()
+            _pruned_signatures(corpus, bits, bands).count()
+            sig = round(time.monotonic() - t0, 1)
+            t0 = time.monotonic()
+            rows = _pruned_rerank(
+                corpus, _pruned_candidates(corpus, tier=(bits, bands))
+            ).count()
+            full = round(time.monotonic() - t0, 1)
+            c = cells.setdefault(
+                (bits, bands),
+                {
+                    "bits": bits, "bands": bands, "sig_sec": sig,
+                    "full_sec": full, "rows": rows, "expected": scale * 100,
+                },
+            )
+            c["sig_sec"] = round(min(c["sig_sec"], sig), 1)
+            c["full_sec"] = round(min(c["full_sec"], full), 1)
+            if rows != c["rows"]:
+                c["rows_unstable"] = sorted(set(c.get("rows_unstable", [c["rows"]])) | {rows})
+            print(
+                json.dumps(
+                    {"pass": _pass, "bits": bits, "bands": bands,
+                     "sig_sec": sig, "full_sec": full, "rows": rows}
+                ),
+                flush=True,
+            )
+    for c in cells.values():
+        if "rows_unstable" in c:
+            c["recall"] = None
+            c["recall_by_rows"] = {
+                str(r): round(r / c["expected"], 4) for r in c["rows_unstable"]
+            }
+        else:
+            c["recall"] = round(c["rows"] / c["expected"], 4)
+        c["sig_share"] = round(c["sig_sec"] / c["full_sec"], 3)
+    print(json.dumps({"scale": scale, "vectors": n, "cells": list(cells.values())}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,3,10")
@@ -541,7 +626,17 @@ def main() -> None:
              "(see band_sweep_main); --dials picks the partition counts",
     )
     ap.add_argument("--dials", default="0,96,256")
+    ap.add_argument(
+        "--tier-compare", default=None, metavar="SCALE",
+        help="explicit-tier head-to-head at one embeddings scale "
+             "(see tier_compare_main); --tiers picks the (bits x bands) list",
+    )
+    ap.add_argument("--tiers", default="20x100,24x188")
+    ap.add_argument("--passes", type=int, default=2)
     args = ap.parse_args()
+    if args.tier_compare:
+        tier_compare_main(int(args.tier_compare), _parse_tiers(args.tiers), args.passes)
+        return
     if args.band_sweep:
         band_sweep_main(int(args.band_sweep), [int(d) for d in args.dials.split(",")])
         return
