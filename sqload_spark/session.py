@@ -80,6 +80,19 @@ def get_spark(app_name: str = "sqload_spark", shuffle_partitions: int | None = N
         # timestamp, so read it as a raw long and convert in the catalog
         # (sources/tables.py) — see configure() below for driver-owned sessions.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Static conf, default 100: a 113-entry suite evicts and re-Janino-
+        # compiles the big generated classes (the expanded 64-dim dot, the
+        # generator case-whens) every pass — the r9 plan audit isolated
+        # dedup_embedding_cosine_banded at 5.8-6.7 s alone vs 10.1 s
+        # in-suite, all of it codegen-cache thrash. Cache entries are
+        # weak-referenced compiled classes (a few KB each), so 2048 is
+        # noise against the 48g driver heap. Env-overridable for A/B runs;
+        # semantics-free (it is a compilation CACHE SIZE), so the oracle
+        # gate is unaffected and only bench wall can move.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SQLOAD_CODEGEN_CACHE_ENTRIES", "2048"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

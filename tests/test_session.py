@@ -105,3 +105,15 @@ def test_scratch_subdir_stable_and_under_one_root(tmp_path, monkeypatch):
 
     assert os.path.dirname(a1) == os.path.dirname(b)
     assert len(calls) == 1  # one root, one cleanup hook
+
+
+def test_codegen_cache_sized_for_the_suite(spark):
+    """get_spark must raise the Janino codegen cache above Spark's
+    100-entry default: a 113-entry bench suite evicts and re-compiles the
+    big generated classes every pass (measured A/B, one session, two-pass
+    min each: suite 195.6 s at 100 entries vs 183.0 s at 2048, with the
+    delta concentrated on the codegen-heavy entries —
+    dedup_embedding_cosine_banded alone 10.4 s -> 7.1 s). Static conf, so
+    it must be present on the session get_spark built; semantics-free
+    (compilation cache size), so the oracle gate cannot move."""
+    assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 2048
