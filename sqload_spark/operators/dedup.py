@@ -731,7 +731,19 @@ def _pruned_tier_for(n_vectors: int) -> tuple[int, int]:
     plane work (linear, measured single-digit seconds) and buys a 16×
     collision-floor cut (quadratic term) — the width that balances them
     shifts up one notch per ~3× corpus growth, while the band count from
-    bands_for holds the cos-0.90 miss target at every width."""
+    bands_for holds the cos-0.90 miss target at every width — but the
+    notch rule FAILED its 630 K extrapolation test (band-join input binds
+    before the floor there), so no branch ships unmeasured. Round 10
+    measured the first ≥10⁶ point (1.075 M vectors, the k=512 group-screen
+    wall): (20, 100) still wins — 1 501 s vs 1 557 s for 24×188 at equal
+    0.9997 recall — its third measured octave, with the 24-bit gap
+    narrowing 15% → 3.7% across the last octave. STAGED FOR A FUTURE
+    ROUND, measure before shipping: the projected ~2×10⁶ crossover needs
+    a 1024× corpus, i.e. either GROUP_COS_LIMIT nudged to 0.79 for a
+    k=1024 basis (margin still 0.01 above the 0.8 threshold) or a second
+    base corpus; if 24×188 wins there, add `if n_vectors <= ~1.5e6` before
+    a (24, 188) return. Past that, the operative dial stays the band-
+    partition knob (_pruned_candidates), not width."""
     if n_vectors <= 20_000:
         return PRUNED_BITS_PER_BAND, PRUNED_N_PLANES // PRUNED_BITS_PER_BAND
     if n_vectors <= 100_000:
