@@ -119,19 +119,28 @@ def test_signflip_marker_distinguishes_pattern_streams(tmp_path):
 
 
 def test_unstable_emb_tier_cell_nulls_recall():
-    """ADVICE r9: when rows flap across passes the cell must not report the
-    pass-0 recall as a clean figure — recall goes None with one recall per
-    observed row count (mirrors the emb_tier_main post-pass block)."""
-    cell = {"rows": 100, "expected": 100, "rows_unstable": [98, 100],
-            "sig_sec": 1.0, "full_sec": 4.0}
-    # replicate emb_tier_main's per-pass summary logic on one cell
-    if "rows_unstable" in cell:
-        cell["recall"] = None
-        cell["recall_by_rows"] = {
-            str(r): round(r / cell["expected"], 4) for r in cell["rows_unstable"]
-        }
+    """ADVICE r9, on the PRODUCTION helpers (the round-10 self-review found
+    the first version asserting on its own inline copy of the logic): when
+    rows flap across passes the cell must not report the pass-0 recall as
+    a clean figure — recall goes None with one recall per observed row
+    count, and _note_rows must keep EVERY observation, not just pass-0 +
+    latest."""
+    cell = {"rows": 100, "expected": 100, "sig_sec": 1.0, "full_sec": 4.0}
+    assert not sr._note_rows(cell, 100)          # stable pass
+    assert "rows_unstable" not in cell
+    assert sr._note_rows(cell, 98)               # flap
+    assert sr._note_rows(cell, 97)               # second flap: 98 must survive
+    assert not sr._note_rows(cell, 100)          # pass-0 value again, still unstable
+    assert cell["rows_unstable"] == [97, 98, 100]
+    sr._finalize_recall(cell)
     assert cell["recall"] is None
-    assert cell["recall_by_rows"] == {"98": 0.98, "100": 1.0}
+    assert cell["recall_by_rows"] == {"97": 0.97, "98": 0.98, "100": 1.0}
+    assert cell["sig_share"] == 0.25
+
+    stable = {"rows": 99, "expected": 100, "sig_sec": 1.0, "full_sec": 4.0}
+    sr._note_rows(stable, 99)
+    sr._finalize_recall(stable)
+    assert stable["recall"] == 0.99 and "recall_by_rows" not in stable
 
 
 def test_parse_tiers_roundtrip_and_rejects_malformed():

@@ -284,6 +284,35 @@ def _marker_matches(path: str, expected: str) -> bool:
         return fh.read().strip() == expected
 
 
+def _note_rows(cell: dict, rows: int) -> bool:
+    """Accumulate a cross-pass row observation into ``cell``. On a flap,
+    ``rows_unstable`` records EVERY observed count — not just pass-0 +
+    latest, which silently dropped intermediate observations (round-10
+    self-review). Returns True when this observation flapped."""
+    flapped = rows != cell["rows"]
+    if flapped or "rows_unstable" in cell:
+        seen = set(cell.get("rows_unstable", [cell["rows"]])) | {rows}
+        if len(seen) > 1:
+            cell["rows_unstable"] = sorted(seen)
+    return flapped
+
+
+def _finalize_recall(cell: dict) -> None:
+    """ONE summary body for every emb-measurement main (ADVICE r9): an
+    unstable cell must not read as a clean datapoint — recall goes None
+    with one recall per OBSERVED row count; a stable cell reports
+    rows/expected. Idempotent, so per-pass interim summaries can call it
+    repeatedly."""
+    if "rows_unstable" in cell:
+        cell["recall"] = None
+        cell["recall_by_rows"] = {
+            str(r): round(r / cell["expected"], 4) for r in cell["rows_unstable"]
+        }
+    else:
+        cell["recall"] = round(cell["rows"] / cell["expected"], 4)
+    cell["sig_share"] = round(cell["sig_sec"] / cell["full_sec"], 3)
+
+
 def _write_signflip_embeddings(spark: SparkSession, patterns: list, out: str) -> None:
     """ONE sign-flip replication writer shared by build_corpus and
     build_embeddings_corpus, parameterized on the pattern source — the two
@@ -327,11 +356,9 @@ def build_embeddings_corpus(spark: SparkSession, k: int) -> str:
     full build_corpus cache is never half-populated."""
     out = f"{WORK_DIR}/x{k}_emb"
     sentinel = f"{out}/_emb_signflip_group"
-    if os.path.exists(sentinel):
-        with open(sentinel) as fh:
-            if fh.read().strip() == _group_screen_version():
-                return out
-        shutil.rmtree(out, ignore_errors=True)
+    if _marker_matches(sentinel, _group_screen_version()):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
     _write_signflip_embeddings(spark, _group_sign_patterns(spark, k), out)
     with open(sentinel, "w") as fh:
         fh.write(_group_screen_version() + "\n")
@@ -442,22 +469,11 @@ def emb_tier_main(scales: list[int]) -> None:
             # the row count must be deterministic across passes — a
             # flapping threshold pair or a stale-cache corpus would
             # otherwise hide behind the pass-0 value
-            if rows != cell["rows"]:
-                cell["rows_unstable"] = sorted({rows, cell["rows"]})
+            if _note_rows(cell, rows):
                 log_msg = f"rows changed across passes at x{k}: {cell['rows_unstable']}"
                 print(json.dumps({"warning": log_msg}), flush=True)
         for c in best.values():
-            # an unstable cell must not read as a clean datapoint: null the
-            # recall and report one recall per OBSERVED row count instead
-            # (ADVICE r9 — the pass-0 rows silently owned the figure before)
-            if "rows_unstable" in c:
-                c["recall"] = None
-                c["recall_by_rows"] = {
-                    str(r): round(r / c["expected"], 4) for r in c["rows_unstable"]
-                }
-            else:
-                c["recall"] = round(c["rows"] / c["expected"], 4)
-            c["sig_share"] = round(c["sig_sec"] / c["full_sec"], 3)
+            _finalize_recall(c)
         print(json.dumps({"pass": _pass, "cells": list(best.values())}), flush=True)
     print(json.dumps({"all": list(best.values())}))
 
@@ -590,8 +606,7 @@ def tier_compare_main(scale: int, tiers: list[tuple[int, int]], passes: int) -> 
             )
             c["sig_sec"] = round(min(c["sig_sec"], sig), 1)
             c["full_sec"] = round(min(c["full_sec"], full), 1)
-            if rows != c["rows"]:
-                c["rows_unstable"] = sorted(set(c.get("rows_unstable", [c["rows"]])) | {rows})
+            _note_rows(c, rows)
             print(
                 json.dumps(
                     {"pass": _pass, "bits": bits, "bands": bands,
@@ -600,14 +615,7 @@ def tier_compare_main(scale: int, tiers: list[tuple[int, int]], passes: int) -> 
                 flush=True,
             )
     for c in cells.values():
-        if "rows_unstable" in c:
-            c["recall"] = None
-            c["recall_by_rows"] = {
-                str(r): round(r / c["expected"], 4) for r in c["rows_unstable"]
-            }
-        else:
-            c["recall"] = round(c["rows"] / c["expected"], 4)
-        c["sig_share"] = round(c["sig_sec"] / c["full_sec"], 3)
+        _finalize_recall(c)
     print(json.dumps({"scale": scale, "vectors": n, "cells": list(cells.values())}))
 
 
@@ -634,6 +642,23 @@ def main() -> None:
     ap.add_argument("--tiers", default="20x100,24x188")
     ap.add_argument("--passes", type=int, default=2)
     args = ap.parse_args()
+    modes = [m for m, on in (
+        ("--tier-compare", args.tier_compare),
+        ("--band-sweep", args.band_sweep),
+        ("--emb-tier", args.emb_tier),
+    ) if on]
+    if len(modes) > 1:
+        # fail before any corpus build: the first-match dispatch below
+        # would otherwise silently drop the later-named measurement
+        ap.error(f"{' and '.join(modes)} are mutually exclusive")
+    if modes and args.fresh:
+        # every emb mode honors --fresh, scoped to the x{k}_emb dirs these
+        # branches own — a blanket WORK_DIR rmtree would also destroy the
+        # full-build corpora and dirty twins the emb paths never rebuild
+        import glob
+
+        for d in glob.glob(f"{WORK_DIR}/x*_emb"):
+            shutil.rmtree(d, ignore_errors=True)
     if args.tier_compare:
         tier_compare_main(int(args.tier_compare), _parse_tiers(args.tiers), args.passes)
         return
@@ -641,14 +666,6 @@ def main() -> None:
         band_sweep_main(int(args.band_sweep), [int(d) for d in args.dials.split(",")])
         return
     if args.emb_tier:
-        if args.fresh:
-            # scope the delete to the x{k}_emb dirs this branch owns — a
-            # blanket WORK_DIR rmtree would also destroy the full-build
-            # corpora and dirty twins the emb-tier path never rebuilds
-            import glob
-
-            for d in glob.glob(f"{WORK_DIR}/x*_emb"):
-                shutil.rmtree(d, ignore_errors=True)
         emb_tier_main([int(s) for s in args.scales.split(",")])
         return
     if args.fresh:
