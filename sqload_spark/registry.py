@@ -55,70 +55,55 @@ _OPERATOR_MODULES = [
 _loaded = False
 
 # The external correctness driver checks queries in registry order and stops
-# after a fixed window of 50. ROUND-10 rotation (VERDICT r9 "Next round" #1,
-# executing the recipe staged here last round). CORRECTNESS_r09 came back
-# 48/50 hash-green + 2 rows-only BY DESIGN (gen_datasource_table /
-# gen_stream_table received their first-ever driver rows, 10 000 each) with
-# zero failures, so step 1 of the recipe ("any name r09 missed or errored")
-# contributes nothing and the window is exactly:
-#   1. the 45 r5-stale hash-green names (every name whose newest external
-#      row was CORRECTNESS_r05 — tools/coverage_report.py --list was
+# after a fixed window of 50. ROUND-11 rotation (VERDICT r10 "Next round" #1,
+# executing the recipe staged here last round). CORRECTNESS_r10 came back
+# 50/50 hash-green with zero failures and zero rows-only exceptions, so step
+# 1 of the recipe ("any name r10 missed or errored") contributes nothing and
+# the window is exactly:
+#   1. the 45 r6-stale hash-green names (every name whose newest external
+#      row was CORRECTNESS_r06 — tools/coverage_report.py --list was
 #      authoritative at staging time);
-#   2. fill to 50 with the 5 oldest r6 rows in coverage_report --list order
-#      (the dedup_* r6 block head).
-# gen_datasource_table / gen_stream_table are dropped from _PRIORITY and
-# tests/test_registry.py's _STAGED_ROWS_ONLY whitelist is deleted — the
-# round-5 all-oracled-window policy is back in force with no exceptions.
-# After this round no query's newest external row is older than r6.
-# Rows-only-by-design entries (dedup_simhash, LSH/IVF recall paths,
-# mm_decode_features, the generator tables) stay out of the window —
-# law-tested in pytest instead.
+#   2. fill to 50 with the 5 oldest r8 rows in coverage_report --list order
+#      (the dedup_* r8 block head).
+# After this round no name's newest external row is older than r8 and the
+# whole 193-oracle surface has been externally re-checked within 4 rounds.
 #
-# ROUND-11 WINDOW RECIPE (verify against CORRECTNESS_r10 first):
-#   1. any name CORRECTNESS_r10 unexpectedly missed or errored;
-#   2. the remaining 45 r6-stale hash-green names (the r6 block minus the 5
-#      used as round-10 fill: etl_constraint_check,
-#      etl_dynamic_partition_overwrite, etl_file_sizing, mm_dedup_payload,
-#      mm_frame_sample, pipe_output_manifest, q7/q8, q_array_higher_order,
-#      q_equidepth_histogram, q_mode_per_group, q_profile_columns,
-#      q_sample_temperature, q_source_quota_cap, q_token_histogram,
-#      q_unpivot_measures, q_window_ntile_bands, q_window_range_frame,
-#      sim_knn_graph, sim_pagerank_knn, sim_topk_blas, sim_vector_quantize,
-#      src_schema_evolution, the stream_* r6 block, text_gopher_quality,
-#      text_inverted_index, text_pii_scrub, text_quality_arrow_udf,
-#      text_unigram_logprob, text_vocab_coverage, the ts_* block —
-#      coverage_report --list is authoritative);
-#   3. fill to 50 with the 5 oldest r8 rows per coverage_report --list order.
-# After round 11 no name's newest external row is older than r8 and the
-# whole 193-oracle surface has been externally re-checked within 4 rounds —
-# from round 12 on, the rotation is steady-state: always the 50 stalest
-# hash-green names per coverage_report --list.
+# ROUND-12 RECIPE AND STEADY STATE (verify against CORRECTNESS_r11 first):
+#   1. any name CORRECTNESS_r11 unexpectedly missed or errored;
+#   2. fill to 50 with the stalest hash-green names per
+#      tools/coverage_report.py --list (after r11 that is the 45 remaining
+#      r8 names + the 5 oldest r9 rows, but the listing is authoritative —
+#      recompute it, don't trust this comment).
+# From round 12 on this IS the standing rule every round: always the 50
+# stalest. Rows-only-by-design entries (dedup_simhash, LSH/IVF recall
+# paths, mm_decode_features, the generator tables) stay out of the window —
+# law-tested in pytest instead.
 # Between driver rounds, `tools/coverage_report.py --sample N [seed]` runs
 # N random oracled queries through the drive_entry comparator (the
 # judge-sample protocol) for standing evidence.
 
 _PRIORITY = [
-    # -- the 45 r5-stale refreshes (oldest external rows in the registry) ----
-    "dedup_semantic_representative", "dedup_simhash_checked",
-    "etl_partition_pruning", "etl_scd2_history", "etl_upsert_latest",
-    "pipe_rag_corpus", "q10_returned_items", "q11_important_stock",
-    "q12_shipmode_priority", "q13_customer_distribution", "q14_promo_share",
-    "q15_top_supplier", "q16_parts_supplier_count",
-    "q17_small_quantity_revenue", "q18_large_orders",
-    "q19_disjunctive_predicates", "q1_pricing_summary_sqltext",
-    "q20_excess_supply", "q21_waiting_suppliers", "q22_global_sales",
-    "q2_min_cost_supplier", "q4_order_priority", "q6_forecast_revenue",
-    "q9_product_profit", "q_embedding_gram", "q_join_bucketed_colocated",
-    "q_kmeans_assign", "q_kmeans_refine", "q_length_bucketed_batches",
-    "q_not_in_null_semantics", "q_partial_agg_merge", "q_training_order",
-    "qds_hour_bands", "qds_yoy_ratio", "sim_crossencoder_rerank",
-    "sim_knn_triangles", "sim_mmr_rerank", "sketch_cms_checked",
-    "sketch_histogram_merge", "src_csv_corrupt_tolerant", "src_text_logparse",
-    "stream_stream_left_outer", "text_bigram_logprob", "text_bm25_topk",
-    "text_tfidf_top_terms",
-    # -- 5 oldest r6 rows to fill the 50-name window -------------------------
-    "dedup_cluster_sizes", "dedup_cross_source_matrix", "dedup_exact_spans",
-    "dedup_incremental_shard", "dedup_keep_list_weighted",
+    # -- the 45 r6-stale refreshes (oldest external rows in the registry) ----
+    "etl_constraint_check", "etl_dynamic_partition_overwrite",
+    "etl_file_sizing", "mm_dedup_payload", "mm_frame_sample",
+    "pipe_output_manifest", "q7_volume_shipping", "q8_market_share",
+    "q_array_higher_order", "q_equidepth_histogram", "q_mode_per_group",
+    "q_profile_columns", "q_sample_temperature", "q_source_quota_cap",
+    "q_token_histogram", "q_unpivot_measures", "q_window_ntile_bands",
+    "q_window_range_frame", "sim_knn_graph", "sim_pagerank_knn",
+    "sim_topk_blas", "sim_vector_quantize", "src_schema_evolution",
+    "stream_drift_scores", "stream_late_data_policy", "stream_sliding_counts",
+    "stream_static_enrich", "stream_stream_interval_join",
+    "stream_upsert_compaction", "text_gopher_quality", "text_inverted_index",
+    "text_pii_scrub", "text_quality_arrow_udf", "text_unigram_logprob",
+    "text_vocab_coverage", "ts_anomaly_days", "ts_asof_nearest_tolerance",
+    "ts_ewma", "ts_funnel_stages", "ts_gap_fill", "ts_ohlc_bars",
+    "ts_resample_interp", "ts_retention_cohorts", "ts_transition_matrix",
+    "ts_window_unique_users",
+    # -- 5 oldest r8 rows to fill the 50-name window -------------------------
+    "dedup_embedding_cosine", "dedup_embedding_cosine_banded",
+    "dedup_embedding_cosine_banded_pruned", "dedup_keep_list",
+    "dedup_minhash_lsh",
 ]
 
 

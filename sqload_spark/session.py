@@ -13,6 +13,7 @@ from __future__ import annotations
 import atexit
 import os
 import shutil
+import sys
 import tempfile
 import threading
 
@@ -88,14 +89,30 @@ def get_spark(app_name: str = "sqload_spark", shuffle_partitions: int | None = N
         # weak-referenced compiled classes (a few KB each), so 2048 is
         # noise against the 48g driver heap. Env-overridable for A/B runs;
         # semantics-free (it is a compilation CACHE SIZE), so the oracle
-        # gate is unaffected and only bench wall can move.
+        # gate is unaffected and only bench wall can move. int() up front:
+        # a typo'd override must fail here naming the env var, not deep in
+        # JVM session startup with an opaque error (ADVICE r10).
         .config(
             "spark.sql.codegen.cache.maxEntries",
-            os.environ.get("SQLOAD_CODEGEN_CACHE_ENTRIES", "2048"),
+            str(int(os.environ.get("SQLOAD_CODEGEN_CACHE_ENTRIES", "2048"))),
         )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    # Static conf: if any SparkSession already existed in this JVM,
+    # getOrCreate silently ignored the value above, and a codegen-cache A/B
+    # would measure the wrong setting without noticing (ADVICE r10). Warn
+    # loudly; don't raise — shared-session callers (driver-owned sessions
+    # configured via configure()) are legitimate.
+    requested = str(int(os.environ.get("SQLOAD_CODEGEN_CACHE_ENTRIES", "2048")))
+    effective = spark.conf.get("spark.sql.codegen.cache.maxEntries", None)
+    if effective is not None and effective != requested:
+        print(
+            f"WARNING: spark.sql.codegen.cache.maxEntries is {effective}, not the "
+            f"requested {requested} (static conf; a pre-existing SparkSession owns "
+            "it). Codegen-cache A/B results from this session are invalid.",
+            file=sys.stderr,
+        )
     return spark
 
 

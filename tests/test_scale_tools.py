@@ -24,7 +24,7 @@ import scale_run as sr  # noqa: E402
 def fake_corpus(monkeypatch):
     """Small unit-row matrix standing in for the embeddings screen corpus.
     LOW coherence matters: random unit vectors in 64 dims have pairwise
-    |cos| ~ N(0, 1/64) (max ≈ 0.4 over a dozen rows), so the 0.78 screen
+    |cos| ~ N(0, 1/64) (max ≈ 0.4 over a dozen rows), so the 0.79 screen
     accepts nearly every candidate and the tests exercise the CONSTRUCTION,
     not the screen's rejection loop — a small-dimension corpus (tried 16)
     is coherent enough that basis acceptance stalls exactly like the
@@ -82,7 +82,7 @@ def test_pattern_screens_fail_loudly_past_their_walls(fake_corpus):
     with pytest.raises(ValueError, match="pairwise sign-pattern screen"):
         sr._sign_patterns(None, 51)
     with pytest.raises(ValueError, match="group sign-pattern screen"):
-        sr._group_sign_patterns(None, 513)
+        sr._group_sign_patterns(None, 1025)
 
 
 def test_corpus_patterns_route_by_k(fake_corpus, monkeypatch):

@@ -80,6 +80,34 @@ def _unit_corpus(spark: SparkSession):
     return C / n
 
 
+def _screen_checker(U, limit: float):
+    """Exact fast form of the pattern screens' inner check (round 11 — what
+    makes the k=1024 basis practical). The screened quantity for a replica
+    pair under combined pattern t ∈ {±1}ᵈ is |cos(x⊙s_a, y⊙s_b)| =
+    |w·t| with w = (x⊙y)/(|x||y|), and |w·t| ≤ ‖w‖₁ for EVERY sign vector,
+    so a vector pair can exceed ``limit`` under SOME pattern only if its ℓ1
+    bound already does. One |U||U|ᵀ gemm finds exactly those pairs (5 057
+    of 2.2 M on the sf0.1 screen corpus at limit 0.79, diagonal included —
+    the same base vector in two replicas is a real cross-pair); stacking
+    their w rows into W turns one element check into a (|W|×d) matvec
+    instead of an (n×d)@(d×n) gemm — measured ~400× — while the
+    accept/reject DECISION is bit-identical to the full-matrix check: the
+    dropped pairs cannot reach the limit, and the kept rows compute the
+    same products in the same dtype. Bit-identical decisions on the same
+    seeded candidate stream mean the selected patterns are unchanged, so
+    existing cache markers stay valid across this speedup."""
+    import numpy as np
+
+    A = np.abs(U)
+    ii, jj = np.where(np.triu(A @ A.T >= limit))
+    W = U[ii] * U[jj]
+
+    def check(t) -> bool:
+        return W.size == 0 or bool(np.abs(W @ t).max() < limit)
+
+    return check
+
+
 def _sign_patterns(spark: SparkSession, k: int) -> list:
     """First k of a deterministic stream of ±1⁶⁴ patterns, greedily screened
     so that for every selected pair (a, b) the FULL cross-cosine matrix of
@@ -109,13 +137,11 @@ def _sign_patterns(spark: SparkSession, k: int) -> list:
     # with a fresh rng would desynchronize the candidate stream and break
     # prefix-stability
     rng = np.random.RandomState(7)
+    check = _screen_checker(U, CROSS_COS_LIMIT)
     picked = [np.ones(U.shape[1])]
     while len(picked) < k:
         cand = np.where(rng.rand(U.shape[1]) < 0.5, -1.0, 1.0)
-        if all(
-            np.abs((U * (cand * other)) @ U.T).max() < CROSS_COS_LIMIT
-            for other in picked
-        ):
+        if all(check(cand * other) for other in picked):
             picked.append(cand)
     _PATTERN_CACHE[:] = picked
     return picked[:k]
@@ -123,16 +149,21 @@ def _sign_patterns(spark: SparkSession, k: int) -> list:
 
 _BASIS_CACHE: list = []
 
-# Group-screen limit: 0.02 under the 0.8 production threshold. The pairwise
-# screen's 0.72 limit is unreachable here — P(a random pattern's worst
-# cross-cosine ≥ 0.72) is measured 0.105 on this corpus, and accepting a
-# basis pattern requires ALL 2^(j−1) of its new group elements to pass at
-# once ((1−0.105)^128 ≈ 10⁻⁶ for the 8th basis). At 0.78 the per-element
-# rate is 0.018 → ~10 retries for the 8th basis (~35 s total). 0.78 is
-# still strictly exclusionary for the measurement: no cross-replica pair
-# can reach the 0.8 count threshold (0.02 margin vs ~1e-15 float noise),
-# so planted-pair ground truth stays exactly k× the base count.
-GROUP_COS_LIMIT = 0.78
+# Group-screen limit: 0.01 under the 0.8 production threshold (round 11,
+# the r10-staged nudge from 0.78). The pairwise screen's 0.72 limit is
+# unreachable here — P(a random pattern's worst cross-cosine ≥ 0.72) is
+# measured 0.105 on this corpus, and accepting a basis pattern requires
+# ALL 2^(j−1) of its new group elements to pass at once. Measured
+# per-element fail rates (round 11, 1 500 random patterns): 0.0273 at
+# 0.78, 0.0227 at 0.79 — the r10 staging note's "0.018 at 0.78" was
+# optimistic, so the m=10 (k=1024) basis costs (1−0.0227)⁻⁵¹² ≈ 1.3×10⁵
+# attempts at EITHER limit; what makes it practical is _screen_checker's
+# exact candidate-pair reduction (matvec checks), not the limit nudge.
+# 0.79 is still strictly exclusionary for the measurement: no
+# cross-replica pair can reach the 0.8 count threshold (0.01 margin vs
+# ~1e-15 float noise), so planted-pair ground truth stays exactly k× the
+# base count.
+GROUP_COS_LIMIT = 0.79
 
 
 def _group_sign_patterns(spark: SparkSession, k: int) -> list:
@@ -159,15 +190,17 @@ def _group_sign_patterns(spark: SparkSession, k: int) -> list:
     import numpy as np
 
     # The j-th basis is accepted only if ALL 2^(j-1) new group elements
-    # pass, so acceptance decays doubly-geometrically in m: at the 0.018
-    # per-element fail rate, m=9 (k≤512) costs ~(1-0.018)^-256 ≈ 100
-    # retries of 256 checks (~10 min of numpy), m=10 ≈ 11 000 retries —
-    # effectively a hang. Fail loudly at the measured practical limit; the
-    # next dial past k=512 is raising GROUP_COS_LIMIT toward the 0.8 count
-    # threshold (smaller fail rate) or screening against a vector coreset.
-    if k > 512:
+    # pass, so acceptance decays doubly-geometrically in m: at the measured
+    # 0.0227 per-element fail rate (limit 0.79), m=10 (k≤1024) costs
+    # ~(1-0.0227)^-512 ≈ 1.3e5 attempts — minutes with _screen_checker's
+    # matvec checks (the full m=10 basis built in ~1 min wall in round 11;
+    # most attempts die on their first few element checks), but m=11 ≈ (1-0.0227)^-1024 ≈ 1.6e10 attempts — a hang at
+    # any check speed. Fail loudly at the measured practical limit; the
+    # next dial past k=1024 is a second base corpus or screening against a
+    # vector coreset, not more width.
+    if k > 1024:
         raise ValueError(
-            f"group sign-pattern screen is impractical past k=512 (got k={k}): "
+            f"group sign-pattern screen is impractical past k=1024 (got k={k}): "
             "basis acceptance is all-or-nothing over 2^(j-1) elements and "
             "decays doubly-geometrically. Raise GROUP_COS_LIMIT or shrink "
             "the screening corpus before going wider."
@@ -176,12 +209,13 @@ def _group_sign_patterns(spark: SparkSession, k: int) -> list:
     m = max(1, int(np.ceil(np.log2(max(k, 2)))))
     if len(_BASIS_CACHE) < m:
         rng = np.random.RandomState(11)
+        check = _screen_checker(U, GROUP_COS_LIMIT)
         basis: list = []
         group = [np.ones(U.shape[1])]
         while len(basis) < m:
             cand = np.where(rng.rand(U.shape[1]) < 0.5, -1.0, 1.0)
             new = [g * cand for g in group]
-            if all(np.abs((U * t) @ U.T).max() < GROUP_COS_LIMIT for t in new):
+            if all(check(t) for t in new):
                 basis.append(cand)
                 group.extend(new)
         _BASIS_CACHE[:] = basis
@@ -548,6 +582,9 @@ def _parse_tiers(spec: str) -> list[tuple[int, int]]:
     40 minutes into a measurement."""
     tiers = []
     for t in spec.split(","):
+        # tolerate '20x100, 24x188' — a stray space after the comma is a
+        # common CLI style and must not read as a malformed spec (ADVICE r10)
+        t = t.strip()
         parts = t.lower().split("x")
         if len(parts) != 2 or not all(p.isdigit() for p in parts):
             raise ValueError(f"tier spec must be BITSxBANDS (got {t!r})")
@@ -606,7 +643,15 @@ def tier_compare_main(scale: int, tiers: list[tuple[int, int]], passes: int) -> 
             )
             c["sig_sec"] = round(min(c["sig_sec"], sig), 1)
             c["full_sec"] = round(min(c["full_sec"], full), 1)
-            _note_rows(c, rows)
+            if _note_rows(c, rows):
+                # surface the flap as it happens — the final JSON may be an
+                # hour away (ADVICE r10; mirrors emb_tier_main)
+                print(
+                    json.dumps(
+                        {"warning": f"rows flapped at {bits}x{bands}: {c['rows_unstable']}"}
+                    ),
+                    flush=True,
+                )
             print(
                 json.dumps(
                     {"pass": _pass, "bits": bits, "bands": bands,
