@@ -737,20 +737,39 @@ def _pruned_tier_for(n_vectors: int) -> tuple[int, int]:
     measured the first ≥10⁶ point (1.075 M vectors, the k=512 group-screen
     wall): (20, 100) still wins — 1 501 s vs 1 557 s for 24×188 at equal
     0.9997 recall — its third measured octave, with the 24-bit gap
-    narrowing 15% → 3.7% across the last octave. STAGED FOR A FUTURE
-    ROUND, measure before shipping: the projected ~2×10⁶ crossover needs
-    a 1024× corpus, i.e. either GROUP_COS_LIMIT nudged to 0.79 for a
-    k=1024 basis (margin still 0.01 above the 0.8 threshold) or a second
-    base corpus; if 24×188 wins there, add `if n_vectors <= ~1.5e6` before
-    a (24, 188) return. Past that, the operative dial stays the band-
-    partition knob (_pruned_candidates), not width."""
+    narrowing 15% → 3.7% across the last octave. Round 11 MEASURED the
+    staged ~2×10⁶ crossover (k=1024 corpus via the 0.79 group screen +
+    the exact candidate-pair screen reduction, 2,150,400 vectors,
+    tools/scale_run.py --tier-compare 1024) and the crossover is not a
+    wall ratio but a feasibility cliff: (20, 100)'s collision floor there
+    is ~2.2×10⁸ candidates, and the exact re-rank's first join
+    materializes candidates × the 64-double vectors ≈ 110+ GB of shuffle
+    — past this host's scratch disk both times it ran (SPILL_OUT_OF_MEMORY
+    / "No space left on device" at ~43 GB and ~76 GB free), while
+    (24, 188) COMPLETED in the same session: full 3 323.7 s, rows
+    102 382 of 102 400 planted (recall 0.9998, equal to its 1.075 M
+    recall), peak scratch ~71 GB (band-join shuffle, released at stage
+    end). On a multi-executor cluster both tiers would complete, but the
+    16× candidate cut per +4 bits vs ~2.4× more plane work is
+    scale-free, so the single-node cliff IS the crossover signal — hence
+    the measured branch below at 1.5×10⁶ (the geometric midpoint of the
+    1.075 M point where 20-bit still won by 3.7% and the 2.15 M point
+    where it cannot finish). Past that, the operative dials are the
+    band-partition knob (_pruned_candidates) and the signature map side:
+    at (24, 188) × 2.15 M the interpreted aggregate/zip_with plane dots
+    (9.7×10⁹ of them) are ~78% of the full wall — a mapInPandas GEMM
+    signature twin is the staged next-round fix, gated on band-value
+    parity tests (float summation order changes sign bits of near-zero
+    dots)."""
     if n_vectors <= 20_000:
         return PRUNED_BITS_PER_BAND, PRUNED_N_PLANES // PRUNED_BITS_PER_BAND
     if n_vectors <= 100_000:
         return 12, PRUNED_N_PLANES // 12
     if n_vectors <= 200_000:
         return 16, bands_for(16, threshold=0.90, target_miss=1e-2)
-    return 20, bands_for(20, threshold=0.90, target_miss=1e-2)
+    if n_vectors <= 1_500_000:
+        return 20, bands_for(20, threshold=0.90, target_miss=1e-2)
+    return 24, bands_for(24, threshold=0.90, target_miss=1e-2)
 
 _PRUNED_CORPUS_SQL = f"""
     WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {_EMB} AS embeddings),

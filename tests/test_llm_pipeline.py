@@ -177,7 +177,14 @@ def test_pruned_tier_scales_with_corpus():
     # round-9: at 315 K vectors 16×53's collision floor is ~40 M background
     # candidates (406 s); 20×100 measured 182 s at the same 0.9999 recall
     assert _pruned_tier_for(500_000) == (20, 100)
-    for n in (210, 63_000, 150_000, 500_000):
+    # round-11: at 2.15 M vectors the 20-bit floor (~2.2e8 candidates) made
+    # the re-rank's first join exceed single-node scratch both times it ran,
+    # while 24×188 completed at recall 0.9998 in the same session — the
+    # measured feasibility crossover; boundary = the geometric midpoint of
+    # the 1.075 M point (20-bit still won by 3.7%) and the 2.15 M point
+    assert _pruned_tier_for(1_075_200) == (20, 100)
+    assert _pruned_tier_for(2_150_400) == (24, 188)
+    for n in (210, 63_000, 150_000, 500_000, 2_150_400):
         bits, bands = _pruned_tier_for(n)
         assert bits * bands >= PRUNED_N_PLANES // 2  # never degenerate
         # planted-dup recall law: P(miss every band) stays negligible
