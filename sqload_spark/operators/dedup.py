@@ -805,14 +805,47 @@ def _pruned_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.unionByName(planted)
 
 
-def _pruned_signatures(corpus: DataFrame, bits: int, bands: int) -> DataFrame:
+def _pruned_signatures(
+    corpus: DataFrame, bits: int, bands: int, backend: str = "expr"
+) -> DataFrame:
     """Map-side hyperplane signature pass of the pruned banded-cosine miner:
     one row per (vec_id, band) with the packed ``bits``-bit band value.
     Split out of _pruned_candidates so tools/scale_run.py can time the
     signature pass separately from the band join (VERDICT r8 #2 asks for
     the 848-plane signature-pass cost share at ≥3×10⁵ vectors). Plane rows
     are drawn from one seeded stream in band order, so the 8-bit/20-band
-    planes are bit-identical to every prior round's."""
+    planes are bit-identical to every prior round's.
+
+    Two backends compute the same (vec_id, band, bv) rows:
+
+    - ``expr`` — broadcast-join the corpus against an n_planes-row plane
+      table, one interpreted aggregate/zip_with dot per (vector, plane)
+      row, groupBy-pack the bits. This is the original path and the one
+      the REGISTERED oracle-checked queries pin (their physical plans stay
+      bit-identical to every prior round's plan audit).
+    - ``gemm`` — one mapInPandas over the corpus: per Arrow batch, a single
+      (batch × 64) @ (64 × n_planes) numpy GEMM produces every plane dot,
+      signs are packed per band with a second tiny (bands × bits) @ weights
+      product, and the (vec_id, band, bv) rows are emitted directly —
+      no row explosion (expr materializes n·n_planes join rows), no
+      groupBy exchange (expr shuffles n·bands packed rows), and the dots
+      run in BLAS instead of the interpreted higher-order evaluator. At
+      (24, 188) × 2.15 M vectors the expr dots are 9.7×10⁹ interpreted
+      folds ≈ 78% of the full wall (round-11 measurement) — this is the
+      staged fix for exactly that map side, shipped on the SCALE twin only
+      (embedding_cosine_banded_pruned_scaled).
+
+    Parity: both backends sum the same 64 double products per dot, but the
+    fold is left-to-right while BLAS uses blocked/SIMD accumulation, so a
+    dot within ~1 ulp of 0.0 could in principle sign-flip between them.
+    test_llm_pipeline asserts the full (vec_id, band, bv) row sets are
+    IDENTICAL on the test corpora at both the pinned 8-bit tier and the
+    widest shipped tier (24×188); random-plane dots concentrate at O(1),
+    so a flip needs |dot| ≲ 1e-15 — measure-zero in practice, and a flip
+    would only move one band of one vector (LSH recall is indifferent to
+    which side of a hyperplane a point ON the hyperplane lands)."""
+    if backend == "gemm":
+        return _pruned_signatures_gemm(corpus, bits, bands)
     from sqload_spark.functions.vectors import dot
 
     rng = __import__("numpy").random.RandomState(41)
@@ -837,10 +870,53 @@ def _pruned_signatures(corpus: DataFrame, bits: int, bands: int) -> DataFrame:
     )
 
 
+def _pruned_signatures_gemm(corpus: DataFrame, bits: int, bands: int) -> DataFrame:
+    """GEMM backend of _pruned_signatures (see its docstring for the
+    parity contract). The plane matrix is the SAME seeded stream in the
+    same band order (RandomState(41), n_planes × 64), broadcast once as a
+    transposed (64 × n_planes) ndarray (~2.3 MB at 24×188). Output batches
+    are chunked so a 10 k-row Arrow input at 188 bands never emits one
+    1.9 M-row pandas frame."""
+    import numpy as np
+
+    n_planes = bits * bands
+    planes_t = np.ascontiguousarray(
+        np.random.RandomState(41).randn(n_planes, 64).T
+    )
+    weights = np.int64(1) << np.arange(bits, dtype=np.int64)
+    bc = corpus.sparkSession.sparkContext.broadcast(planes_t)
+    vid_type = corpus.schema["vec_id"].dataType.simpleString()
+    out_chunk = max(1, 262_144 // bands)  # input rows per emitted frame
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        P = bc.value
+        band_col = np.arange(bands, dtype=np.int32)
+        for pdf in batches:
+            for lo in range(0, len(pdf), out_chunk):
+                chunk = pdf.iloc[lo : lo + out_chunk]
+                m = len(chunk)
+                V = np.stack(chunk["v"].to_numpy())  # (m, 64) float64
+                signs = (V @ P) > 0  # plane j = band j//bits, pos j%bits
+                bv = signs.reshape(m, bands, bits) @ weights  # (m, bands)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(chunk["vec_id"].to_numpy(), bands),
+                        "band": np.tile(band_col, m),
+                        "bv": bv.ravel(),
+                    }
+                )
+
+    return corpus.mapInPandas(gen, f"vec_id {vid_type}, band int, bv bigint")
+
+
 def _pruned_candidates(
     corpus: DataFrame,
     tier: tuple[int, int] | None = None,
     band_partitions: int | None = None,
+    sig_backend: str = "expr",
 ) -> DataFrame:
     """Hyperplane-banded candidate mining at the high-threshold tuning:
     wide band values (8-16 bits, vs 2-bit in the low-threshold query)
@@ -869,9 +945,15 @@ def _pruned_candidates(
     That matches the remedy's direction (finer, never coarser), but a
     sweep must raise the conf too if it wants points below the default.
     None (the default, and the registered query's only mode) leaves the
-    exchange to the session shuffle-partition conf + AQE coalescing."""
+    exchange to the session shuffle-partition conf + AQE coalescing.
+
+    ``sig_backend`` picks the signature map side (_pruned_signatures):
+    "expr" (default — the registered queries' pinned path, plan-audit
+    stable) or "gemm" (the scale twin's path; identical rows by parity
+    test, ~no row explosion and no groupBy exchange before the band
+    join)."""
     bits, bands = tier if tier is not None else _pruned_tier_for(corpus.count())
-    band_rows = _pruned_signatures(corpus, bits, bands)
+    band_rows = _pruned_signatures(corpus, bits, bands, backend=sig_backend)
     if band_partitions:
         band_rows = band_rows.repartition(band_partitions, "band", "bv")
     a, b = band_rows.alias("a"), band_rows.alias("b")
@@ -974,8 +1056,28 @@ def embedding_cosine_banded_pruned_scaled(spark: SparkSession, sf_dir: str) -> D
     env = os.environ.get("SQLOAD_BAND_SHUFFLE_PARTITIONS")
     return _pruned_rerank(
         corpus,
-        _pruned_candidates(corpus, tier=None, band_partitions=int(env) if env else None),
+        _pruned_candidates(
+            corpus,
+            tier=None,
+            band_partitions=int(env) if env else None,
+            sig_backend=_scaled_sig_backend(),
+        ),
     )
+
+
+def _scaled_sig_backend() -> str:
+    """Signature backend for the SCALE twin (and the tools/ harnesses that
+    measure it): "gemm" by default — the round-11 fix for the interpreted
+    plane-dot map side (≈78% of the 24-bit wall at 2.15 M vectors) —
+    overridable to "expr" via SQLOAD_SIG_BACKEND for A/B runs. The
+    REGISTERED pruned query does not read this: it pins "expr" so its
+    physical plan stays bit-identical to the committed plan audit."""
+    import os
+
+    backend = os.environ.get("SQLOAD_SIG_BACKEND", "gemm")
+    if backend not in ("expr", "gemm"):
+        raise ValueError(f"SQLOAD_SIG_BACKEND must be expr|gemm, got {backend!r}")
+    return backend
 
 
 @query("dedup_embedding_cosine_banded", oracle=_EMB_COSINE_ORACLE)

@@ -159,6 +159,62 @@ def test_pruned_banded_cosine_shrink_and_recall(spark, duck):
     )
 
 
+def test_pruned_signature_gemm_parity(spark):
+    """The band-value parity gate for the GEMM signature backend (round-11:
+    the scale twin's map side moved from interpreted aggregate/zip_with
+    plane dots to one mapInPandas GEMM per Arrow batch). Both backends
+    must produce IDENTICAL (vec_id, band, bv) row sets — the expr fold is
+    left-to-right while BLAS blocks the summation, so this asserts no
+    near-zero dot sign-flipped on the actual corpora. Pinned 8-bit tier on
+    the full sf0.01 corpus (525 vectors); the widest shipped tier (24×188)
+    on a deterministic 105-vector subset, because the expr leg's 4 512
+    interpreted folds per vector are exactly the cost the GEMM backend
+    removes — full-width full-corpus parity was measured once in-session
+    (all 98 700 rows identical; expr 1 241.7 s vs gemm 18.0 s, the ratio
+    recorded in BASELINE.md) and this gate stays cheap. Repartition(32) so
+    the expr folds use every core; partitioning is semantics-free for a
+    row-SET comparison."""
+    from pyspark.sql import functions as F
+
+    from sqload_spark.operators.dedup import _pruned_corpus, _pruned_signatures
+
+    full = _pruned_corpus(spark, SF_DIR)
+    for corpus, tier in [
+        (full, (8, 20)),
+        (full.filter(F.col("vec_id") % 5 == 0), (24, 188)),
+    ]:
+        corpus = corpus.repartition(32)
+        expr_rows = set(
+            map(tuple, _pruned_signatures(corpus, *tier, backend="expr").collect())
+        )
+        gemm_rows = set(
+            map(tuple, _pruned_signatures(corpus, *tier, backend="gemm").collect())
+        )
+        assert expr_rows, f"empty signature set at {tier}"
+        assert expr_rows == gemm_rows, f"band-value parity broken at {tier}"
+
+
+def test_pruned_scaled_twin_backend_invariant(spark, monkeypatch):
+    """The scale twin's OUTPUT is backend-invariant: identical ordered rows
+    under SQLOAD_SIG_BACKEND=expr and =gemm (parity above implies identical
+    candidates, hence identical re-ranked pairs). Also: a bogus backend
+    value fails fast in Python, naming the env var's contract."""
+    from sqload_spark.operators.dedup import (
+        _scaled_sig_backend,
+        embedding_cosine_banded_pruned_scaled,
+    )
+
+    monkeypatch.setenv("SQLOAD_SIG_BACKEND", "expr")
+    expr_out = embedding_cosine_banded_pruned_scaled(spark, SF_DIR).collect()
+    monkeypatch.setenv("SQLOAD_SIG_BACKEND", "gemm")
+    gemm_out = embedding_cosine_banded_pruned_scaled(spark, SF_DIR).collect()
+    assert expr_out and expr_out == gemm_out
+
+    monkeypatch.setenv("SQLOAD_SIG_BACKEND", "blas3")
+    with pytest.raises(ValueError, match="expr|gemm"):
+        _scaled_sig_backend()
+
+
 def test_pruned_tier_scales_with_corpus():
     """The banded-cosine collision floor is bands·n²/2^bits (BASELINE.md
     round-6 curve: 8-bit bands fine at 21 K vectors, 238 s at 63 K), so the
