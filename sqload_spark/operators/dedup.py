@@ -694,12 +694,35 @@ def bands_for(bits: int, threshold: float = 0.90, target_miss: float = 1e-2) -> 
     return math.ceil(math.log(target_miss) / math.log1p(-p_band))
 
 
-def _pruned_tier_for(n_vectors: int) -> tuple[int, int]:
-    """(band width bits, band count) scaled to corpus size — the measured
-    scaling rule from BASELINE.md's round-6/7 banded-cosine curves, in code
-    instead of a comment. Used by the SCALE path
+def _pruned_tier_for(n_vectors: int, backend: str = "gemm") -> tuple[int, int]:
+    """(band width bits, band count) scaled to corpus size AND signature
+    backend — the measured scaling rules from BASELINE.md's banded-cosine
+    curves, in code instead of a comment. Used by the SCALE path
     (embedding_cosine_banded_pruned_scaled / tools/scale_run.py); the
     registered oracle-checked query pins the 8-bit tier (see its docstring).
+
+    TWO ladders, because the tier trade is a ratio of plane-work to
+    collision-floor cost and the GEMM backend changed the numerator ~69×:
+
+    - ``gemm`` (the scale twin's default backend): (8, 20) up to 20 K
+      vectors (the recall-1.0 zone, absolute walls in seconds), then
+      (24, 188) EVERYWHERE — with BLAS plane dots the sig pass is single-
+      digit seconds at every measured scale, so the 16×-per-+4-bits
+      collision-floor cut wins every octave. Measured head-to-head this
+      round (single sessions, equal recall at every cell): 21 K vectors
+      2.8 s vs 6.1 s for (12,13) [recall 0.999 vs 0.991]; 67 K 7.7 s vs
+      13.1 s for (16,53); 134 K 8.8 s vs 10.9 s for (20,100) and 41.3 s
+      for (16,53); 269 K 21.4 s vs 50.1 s; 538 K 95.9 s vs 175.3 s;
+      1.075 M 250.6 s vs 859.0 s; 2.15 M 812.8 s (sig pass 21.2 s =
+      2.6%; rows bit-identical to the expr run) where (20,100)'s
+      candidate floor exceeds single-node scratch (below).
+    - ``expr`` (the registered queries' path and the pre-round-11
+      measurement series): the historical width ladder below, where each
+      +4 bits costs ~2.4× INTERPRETED map-side plane work, so width
+      shifts up one notch per ~3× corpus growth.
+
+    The expr-era narrative (kept because it documents the physics and
+    every measured point the ladder came from):
 
     Random 8-bit band values collide at ~2⁻⁸, so BACKGROUND candidates grow
     as bands·n²/2⁹ regardless of how well the bands separate true pairs:
@@ -762,9 +785,14 @@ def _pruned_tier_for(n_vectors: int) -> tuple[int, int]:
     scale twin's default): measured 18.0 s vs 1 241.7 s for the expr leg
     at 525 vectors × (24, 188) with all 98 700 (vec_id, band, bv) rows
     identical, and parity law-tested at both the pinned 8-bit tier and
-    the widest shipped tier."""
+    the widest shipped tier. The GEMM re-measurement of the whole ladder
+    (the head-to-head table in the gemm bullet above) then collapsed the
+    width ladder for the shipped backend: with the plane work ~free, the
+    only remaining reason to stay narrow is the ≤20 K recall-1.0 zone."""
     if n_vectors <= 20_000:
         return PRUNED_BITS_PER_BAND, PRUNED_N_PLANES // PRUNED_BITS_PER_BAND
+    if backend == "gemm":
+        return 24, bands_for(24, threshold=0.90, target_miss=1e-2)
     if n_vectors <= 100_000:
         return 12, PRUNED_N_PLANES // 12
     if n_vectors <= 200_000:
@@ -954,7 +982,11 @@ def _pruned_candidates(
     stable) or "gemm" (the scale twin's path; identical rows by parity
     test, ~no row explosion and no groupBy exchange before the band
     join)."""
-    bits, bands = tier if tier is not None else _pruned_tier_for(corpus.count())
+    bits, bands = (
+        tier
+        if tier is not None
+        else _pruned_tier_for(corpus.count(), backend=sig_backend)
+    )
     band_rows = _pruned_signatures(corpus, bits, bands, backend=sig_backend)
     if band_partitions:
         band_rows = band_rows.repartition(band_partitions, "band", "bv")
@@ -1031,14 +1063,16 @@ def _pruned_rerank(corpus: DataFrame, candidates: DataFrame) -> DataFrame:
 def embedding_cosine_banded_pruned_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCALE-path twin of dedup_embedding_cosine_banded_pruned: identical
     plan shape and threshold, but the (band width, band count) tier adapts
-    to the corpus via _pruned_tier_for — 8-bit/20 up to 20 K vectors
-    (recall 1.0), 12-bit/13 to 100 K (recall 0.990, collision floor 16×
-    lower), 16-bit × bands_for(16, 0.90, 1e-2)=53 to 200 K, and
-    20-bit × bands_for(20)=100 beyond (the OR-amplification regime: at
-    every width the band count holds the cos-0.90 miss probability
-    <= 1e-2 by the LSH formula while the wider bands cut the collision
-    floor 16× per +4 bits; the 315 K-vector point measured 182 s at
-    recall 0.9999 vs 406 s for 16×53). Deliberately NOT registered: its recall above 20 K
+    to the corpus AND the signature backend via _pruned_tier_for — under
+    the default gemm backend that is 8-bit/20 up to 20 K vectors (recall
+    1.0) and 24-bit × bands_for(24)=188 beyond (BLAS plane dots make the
+    sig pass single-digit seconds at every measured scale, so the widest
+    collision-floor cut wins every octave — measured head-to-head from
+    21 K to 1.075 M vectors, see _pruned_tier_for); under the expr
+    backend the historical interpreted-cost width ladder applies
+    (12-bit/13 to 100 K, 16×53 to 200 K, 20×100 to 1.5 M, 24×188 past).
+    At every width the band count holds the cos-0.90 miss probability
+    <= 1e-2 by the LSH formula (bands_for). Deliberately NOT registered: its recall above 20 K
     vectors is a measured 0.99-trade, so checking it against the exact
     all-pairs oracle would institutionalize a known mismatch (ADVICE r6) —
     tools/scale_run.py measures it instead, with planted-pair counts as

@@ -219,33 +219,49 @@ def test_pruned_tier_scales_with_corpus():
     """The banded-cosine collision floor is bands·n²/2^bits (BASELINE.md
     round-6 curve: 8-bit bands fine at 21 K vectors, 238 s at 63 K), so the
     (width, band count) tier must change with the corpus, and near-verbatim
-    dups (cos ≈ 0.998) must keep recall ≈ 1 at every tier."""
+    dups (cos ≈ 0.998) must keep recall ≈ 1 at every tier. Round 11's GEMM
+    signature backend re-priced the plane work ~69×, so the ladder is now
+    backend-aware: one ladder per measured cost model."""
     from sqload_spark.operators.dedup import PRUNED_N_PLANES, _pruned_tier_for
 
-    assert _pruned_tier_for(210) == (8, 20)       # sf0.01 driver corpus
-    assert _pruned_tier_for(20_000) == (8, 20)    # measured fine zone
-    assert _pruned_tier_for(63_000) == (12, 13)   # measured 238 s knee
-    # width CAPS at 12 under the fixed 160-plane budget: a 16-bit tier at
-    # that budget measured recall 0.929 at 105 K vectors (vs 12-bit's
-    # 0.990) — beyond 100 K the recall-preserving dial is band COUNT
-    # (OR-amplification), so the wide tiers carry bands_for's band counts
-    assert _pruned_tier_for(150_000) == (16, 53)  # measured r7: 105 K recall 0.9998
+    # gemm ladder (the scale twin's default backend, and the function's
+    # default): plane dots are BLAS, so the widest bands_for-sound tier
+    # wins every measured octave — 21 K (2.8 s vs 6.1 s for 12×13), 67 K
+    # (7.7 vs 13.1 for 16×53), 134 K (8.8 vs 10.9 for 20×100), 269 K
+    # (21.4 vs 50.1), 538 K (95.9 vs 175.3), 1.075 M (250.6 vs 859.0),
+    # all at equal-or-better recall. Below 20 K the pinned 8-bit tier
+    # keeps its measured recall-1.0 contract (absolute walls are seconds).
+    assert _pruned_tier_for(210) == (8, 20)            # sf0.01 driver corpus
+    assert _pruned_tier_for(20_000) == (8, 20)         # recall-1.0 zone
+    for n in (21_000, 63_000, 150_000, 500_000, 1_075_200, 2_150_400):
+        assert _pruned_tier_for(n) == (24, 188)
+        assert _pruned_tier_for(n, backend="gemm") == (24, 188)
+
+    # expr ladder (the registered queries' backend; the pre-round-11
+    # measurement series): width shifts one notch per ~3× corpus growth
+    # because each +4 bits costs ~2.4× INTERPRETED map-side plane work.
+    assert _pruned_tier_for(210, backend="expr") == (8, 20)
+    assert _pruned_tier_for(20_000, backend="expr") == (8, 20)
+    assert _pruned_tier_for(63_000, backend="expr") == (12, 13)   # 238 s knee
+    assert _pruned_tier_for(150_000, backend="expr") == (16, 53)  # r7: 105 K recall 0.9998
     # round-9: at 315 K vectors 16×53's collision floor is ~40 M background
     # candidates (406 s); 20×100 measured 182 s at the same 0.9999 recall
-    assert _pruned_tier_for(500_000) == (20, 100)
+    assert _pruned_tier_for(500_000, backend="expr") == (20, 100)
     # round-11: at 2.15 M vectors the 20-bit floor (~2.2e8 candidates) made
     # the re-rank's first join exceed single-node scratch both times it ran,
     # while 24×188 completed at recall 0.9998 in the same session — the
     # measured feasibility crossover; boundary = the geometric midpoint of
     # the 1.075 M point (20-bit still won by 3.7%) and the 2.15 M point
-    assert _pruned_tier_for(1_075_200) == (20, 100)
-    assert _pruned_tier_for(2_150_400) == (24, 188)
-    for n in (210, 63_000, 150_000, 500_000, 2_150_400):
-        bits, bands = _pruned_tier_for(n)
-        assert bits * bands >= PRUNED_N_PLANES // 2  # never degenerate
-        # planted-dup recall law: P(miss every band) stays negligible
-        p_band = 0.98 ** bits  # P(bit agrees) ≈ 1 - θ/π ≈ 0.98 at cos 0.998
-        assert (1 - p_band) ** bands < 1e-5
+    assert _pruned_tier_for(1_075_200, backend="expr") == (20, 100)
+    assert _pruned_tier_for(2_150_400, backend="expr") == (24, 188)
+
+    for backend in ("expr", "gemm"):
+        for n in (210, 63_000, 150_000, 500_000, 2_150_400):
+            bits, bands = _pruned_tier_for(n, backend=backend)
+            assert bits * bands >= PRUNED_N_PLANES // 2  # never degenerate
+            # planted-dup recall law: P(miss every band) stays negligible
+            p_band = 0.98 ** bits  # P(bit agrees) ≈ 1 - θ/π ≈ 0.98 at cos 0.998
+            assert (1 - p_band) ** bands < 1e-5
 
 
 def test_bands_for_matches_lsh_formula():

@@ -503,7 +503,7 @@ def emb_tier_main(scales: list[int]) -> None:
         for k in scales:
             corpus = _pruned_corpus(spark, dirs[k])
             n = corpus.count()
-            bits, bands = _pruned_tier_for(n)
+            bits, bands = _pruned_tier_for(n, backend=backend)
             sig = _timed_sig(corpus, bits, bands, backend)
             t0 = time.monotonic()
             rows = embedding_cosine_banded_pruned_scaled(spark, dirs[k]).count()
@@ -554,7 +554,7 @@ def band_sweep_main(scale: int, dials: list[int]) -> None:
     backend = _scaled_sig_backend()
     corpus = _pruned_corpus(spark, build_embeddings_corpus(spark, scale))
     n = corpus.count()
-    bits, bands = _pruned_tier_for(n)
+    bits, bands = _pruned_tier_for(n, backend=backend)
 
     def wall(dial: int) -> tuple[float, int]:
         cand = _pruned_candidates(
