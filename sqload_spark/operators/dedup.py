@@ -942,6 +942,26 @@ def _pruned_signatures_gemm(corpus: DataFrame, bits: int, bands: int) -> DataFra
     return corpus.mapInPandas(gen, f"vec_id {vid_type}, band int, bv bigint")
 
 
+def _band_partitions_for(n_vectors: int, backend: str = "gemm") -> int | None:
+    """Measured default for the band-join shuffle dial (_pruned_candidates):
+    256 partitions once the corpus is past 10⁶ vectors under the gemm
+    backend, else None (session conf + AQE). Ships ONLY what the sweep
+    harness measured (tools/scale_run.py --band-sweep, min-of-2 cells,
+    rows bit-identical at every cell): 630 K noise-bounded ~0, 1.075 M
+    **−17%** (176.6 → 146.4 s), 2.15 M **−3.6%** (1 201.8 → 1 159.0 s) —
+    monotone never-worse across the measured ladder, with the win peaking
+    where the band-join shuffle binds before single-node spill flattens
+    the geometry (BASELINE.md round-11 sweep records). The expr backend
+    gets no default: its ≥10⁶ walls are plane-dot-bound (the dial's
+    target shuffle is not the bottleneck there) and no expr sweep was run
+    in that regime — unmeasured branches don't ship. On a real cluster
+    the right value is the executor count; SQLOAD_BAND_SHUFFLE_PARTITIONS
+    overrides this default either way ("0" forces the dial off)."""
+    if backend == "gemm" and n_vectors > 1_000_000:
+        return 256
+    return None
+
+
 def _pruned_candidates(
     corpus: DataFrame,
     tier: tuple[int, int] | None = None,
@@ -1078,25 +1098,31 @@ def embedding_cosine_banded_pruned_scaled(spark: SparkSession, sf_dir: str) -> D
     tools/scale_run.py measures it instead, with planted-pair counts as
     ground truth (rows = k×100 exactly when recall is 1.0).
 
-    The band-join shuffle dial (see _pruned_candidates) is exposed here via
+    The band-join shuffle dial (see _pruned_candidates) defaults to the
+    MEASURED adaptive value here — _band_partitions_for: 256 past 10⁶
+    vectors under the gemm backend (−17% at 1.075 M, −3.6% at 2.15 M,
+    rows invariant in every sweep cell), off below — and is exposed via
     SQLOAD_BAND_SHUFFLE_PARTITIONS for callers that only see the (spark,
-    sf_dir) signature — e.g. dirty_scale_run's lookup table; the sweep
+    sf_dir) signature — e.g. dirty_scale_run's lookup table ("0" forces
+    the dial off; unset defers to the measured default). The sweep
     harness (tools/scale_run.py --band-sweep) calls _pruned_candidates
-    directly with the same parameter. Unset (the default) keeps the
-    session shuffle-partition conf + AQE, so nothing changes for callers
-    that don't opt in; the count()-based tier probe is unaffected either
-    way (row counts are partitioning-invariant, law-tested)."""
+    directly with an explicit dial, so its cells are never contaminated
+    by this default. The corpus count feeding both the tier and the dial
+    is taken ONCE here; row counts are partitioning-invariant
+    (law-tested), so the dial cannot move the tier probe."""
     import os
 
     corpus = _pruned_corpus(spark, sf_dir)
+    backend = _scaled_sig_backend()
+    n = corpus.count()
     env = os.environ.get("SQLOAD_BAND_SHUFFLE_PARTITIONS")
     return _pruned_rerank(
         corpus,
         _pruned_candidates(
             corpus,
-            tier=None,
-            band_partitions=int(env) if env else None,
-            sig_backend=_scaled_sig_backend(),
+            tier=_pruned_tier_for(n, backend=backend),
+            band_partitions=int(env) if env else _band_partitions_for(n, backend),
+            sig_backend=backend,
         ),
     )
 

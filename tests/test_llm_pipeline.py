@@ -483,3 +483,23 @@ def test_band_shuffle_dial_partitions_and_row_invariance(spark):
     base = {tuple(r) for r in _pruned_candidates(corpus, tier=tier).collect()}
     assert {tuple(r) for r in dialed.collect()} == base
     assert {tuple(r) for r in floored.collect()} == base
+
+
+def test_band_partitions_default_ladder():
+    """Sparkless law for the scale twin's measured dial default
+    (_band_partitions_for): 256 ONLY past 10⁶ vectors under the gemm
+    backend — the two regimes the sweep harness measured wins in
+    (1.075 M −17%, 2.15 M −3.6%, rows invariant) — and None everywhere
+    else: the ≤10⁶ gemm band (630 K measured noise-bounded) and the
+    whole expr ladder (its ≥10⁶ walls are plane-dot-bound; no sweep ran
+    there, and unmeasured branches must not ship)."""
+    from sqload_spark.operators.dedup import _band_partitions_for
+
+    assert _band_partitions_for(2_150_400, "gemm") == 256
+    assert _band_partitions_for(1_075_200, "gemm") == 256
+    assert _band_partitions_for(1_000_001, "gemm") == 256
+    assert _band_partitions_for(1_000_000, "gemm") is None
+    assert _band_partitions_for(630_000, "gemm") is None
+    assert _band_partitions_for(2_100, "gemm") is None
+    for n in (2_100, 630_000, 1_075_200, 2_150_400):
+        assert _band_partitions_for(n, "expr") is None
