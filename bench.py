@@ -212,21 +212,27 @@ def main() -> None:
     spark = get_spark("sqload_spark_bench")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
 
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    only = {n.strip() for n in only_env.split(",") if n.strip()} if only_env else None
+
     # warm up the JVM/session + parquet datasource + Python workers so the
     # first measured query isn't charged for one-time init (codegen
     # compiler, filesystem, footer readers, Arrow worker spawn)
     spark.range(1000).count()
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(10).count()
-    _force(generate_table(spark, 100_000, GEN_BENCH_SPEC, seed=1, impl="arrow"))
-    # warm the expr backend at FULL size: its first 10M-row run pays a
-    # 15-40 s JVM JIT/compile storm that small-size warmups do not absorb
-    # (measured: 100k 1.9 s, 1M 1.0 s, first 10M 18-46 s, second 10M 3.7 s).
-    # The measured number below is the backend's steady-state throughput;
-    # the one-time cost is recorded in BASELINE.md.
-    _force(generate_table(spark, GEN_BENCH_ROWS, GEN_BENCH_SPEC, seed=1, impl="expr"))
-
-    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
-    only = {n.strip() for n in only_env.split(",") if n.strip()} if only_env else None
+    # The generator warmups only matter when a gen_10m_* entry is being
+    # timed (r11): a SPARK_GRAFT_BENCH_ONLY subset without them skips the
+    # two full-size generations, which cost minutes of untimed wall per
+    # invocation on a stalled host. Timed methodology is unchanged — a
+    # full run (only=None) warms exactly as before.
+    if only is None or any(n.startswith("gen_10m_") for n in only):
+        _force(generate_table(spark, 100_000, GEN_BENCH_SPEC, seed=1, impl="arrow"))
+        # warm the expr backend at FULL size: its first 10M-row run pays a
+        # 15-40 s JVM JIT/compile storm that small-size warmups do not
+        # absorb (measured: 100k 1.9 s, 1M 1.0 s, first 10M 18-46 s,
+        # second 10M 3.7 s). The measured number below is the backend's
+        # steady-state throughput; the one-time cost is in BASELINE.md.
+        _force(generate_table(spark, GEN_BENCH_ROWS, GEN_BENCH_SPEC, seed=1, impl="expr"))
 
     # Two SEPARATED passes over every workload, min per entry. The host
     # takes a periodic machine-wide stall (~30-90 s, roughly every 15 min)

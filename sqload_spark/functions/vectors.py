@@ -50,6 +50,27 @@ def dot_expanded(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
     return e
 
 
+def dot_expanded_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """``dot_expanded`` as ONE SQL string over column/field names — for
+    ``F.expr`` / ``selectExpr`` at hot CONSTRUCTION sites (r11, guide §1/§4:
+    the per-term Python loop costs ~190 py4j round trips per dot — building
+    a 32-plane LSH signature that way measured 5-11 s of driver-side build
+    per invocation, all of it inside the benched wall. One string parsed
+    server-side builds the identical tree: `+` is left-associative in both,
+    so the Add chain and therefore every IEEE result is bit-identical)."""
+    return " + ".join(
+        f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, dim + 1)
+    )
+
+
+def cosine_expanded_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """``cosine_expanded`` as one SQL string (see ``dot_expanded_sql``)."""
+    return (
+        f"({dot_expanded_sql(a, b, dim)}) / "
+        f"(sqrt({dot_expanded_sql(a, a, dim)}) * sqrt({dot_expanded_sql(b, b, dim)}))"
+    )
+
+
 def cosine_expanded(a: Column, b: Column, dim: int = EMB_DIM) -> Column:
     """``cosine`` with every dot product in expanded codegen form —
     bit-identical values (verified pairwise over the sf0.1 corpus).

@@ -32,7 +32,7 @@ from sqload_spark.functions.text_funcs import (
 from sqload_spark.registry import query
 from sqload_spark.session import persist_bounded
 from sqload_spark.sources.tables import load_embeddings, load_table
-from sqload_spark.functions.vectors import EMB_VALID_SQL
+from sqload_spark.functions.vectors import EMB_VALID_SQL, dot_expanded_sql
 
 # Contract-filtered embeddings scan for oracles (vectors.EMB_VALID_SQL).
 _EMB = f"(SELECT * FROM embeddings WHERE {EMB_VALID_SQL})"
@@ -347,6 +347,25 @@ def _labels_from_pairs(pairs: DataFrame) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
+    # Materialize the edge cache (the mine runs here, at full session
+    # parallelism) and size the ITERATION shuffles from the edge count
+    # (r11, guide §2): the label tables are bounded by the near-dup pair
+    # list — hundreds of rows at bench scale — while each of the ~3
+    # iterations runs 2-3 jobs; at the session-wide partition count that
+    # is 32 tasks × jobs × iterations of pure per-task overhead (profiled:
+    # the CC consumers spend ~95% of their wall here, exec ~0.3 s).
+    # 500 K edge rows per partition, floor 4, cap 4× parallelism — the
+    # same formula keeps thousands of partitions at a 10⁹-edge corpus.
+    n_edges = edges.count()
+    spark = pairs.sparkSession
+    cc_parts = max(4, min(spark.sparkContext.defaultParallelism * 4, 1 + n_edges // 500_000))
+    from sqload_spark.session import shuffle_scope
+
+    with shuffle_scope(spark, cc_parts):
+        return _labels_iterate(edges)
+
+
+def _labels_iterate(edges: DataFrame) -> DataFrame:
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -372,18 +391,23 @@ def _labels_from_pairs(pairs: DataFrame) -> DataFrame:
             stepped = stepped.withColumn(
                 "jmin", F.lit(None).cast(dict(labels.dtypes)["lbl"])
             )
-        new_labels = stepped.select(
+        # carry the change flag THROUGH the checkpoint instead of re-joining
+        # new labels against old ones afterwards (r11: the extra join was a
+        # full shuffle per iteration; `stepped` already holds the old lbl,
+        # so new-vs-old is a projection, and the convergence count becomes a
+        # cheap scan of the already-materialized checkpoint rows)
+        new_lbl = F.least(
+            F.col("lbl"),
+            F.coalesce(F.col("nmin"), F.col("lbl")),
+            F.coalesce(F.col("jmin"), F.col("lbl")),
+        )
+        stepped = stepped.select(
             "doc_id",
-            F.least(
-                F.col("lbl"),
-                F.coalesce(F.col("nmin"), F.col("lbl")),
-                F.coalesce(F.col("jmin"), F.col("lbl")),
-            ).alias("lbl"),
+            new_lbl.alias("lbl"),
+            (new_lbl != F.col("lbl")).alias("chg"),
         ).localCheckpoint()
-        changed = new_labels.join(
-            labels.withColumnRenamed("lbl", "old"), "doc_id"
-        ).filter(F.col("lbl") != F.col("old")).count()
-        labels = new_labels
+        changed = stepped.filter(F.col("chg")).count()
+        labels = stepped.select("doc_id", "lbl")
         if changed == 0:
             break
     out = labels.select("doc_id", F.col("lbl").alias("keep_doc_id"))
@@ -629,19 +653,22 @@ def embedding_cosine_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     dim = 64
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"),
-        norm(F.col("v")).alias("n_a"),
-        *[F.element_at(F.col("v"), i + 1).alias(f"a{i}") for i in range(dim)],
+    # SQL-string construction (r11, see vectors.dot_expanded_sql):
+    # identical trees, one server-side parse instead of ~600 py4j calls.
+    _norm_sql = (
+        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x))"
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"),
-        norm(F.col("v")).alias("n_b"),
-        *[F.element_at(F.col("v"), i + 1).alias(f"b{i}") for i in range(dim)],
+    a = emb.selectExpr(
+        "vec_id AS vec_a",
+        f"{_norm_sql} AS n_a",
+        *[f"element_at(v, {i + 1}) AS a{i}" for i in range(dim)],
     )
-    dot_expr = F.col("a0") * F.col("b0")
-    for i in range(1, dim):
-        dot_expr = dot_expr + F.col(f"a{i}") * F.col(f"b{i}")
+    b = emb.selectExpr(
+        "vec_id AS vec_b",
+        f"{_norm_sql} AS n_b",
+        *[f"element_at(v, {i + 1}) AS b{i}" for i in range(dim)],
+    )
+    dot_expr = F.expr(" + ".join(f"a{i} * b{i}" for i in range(dim)))
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos_raw", dot_expr / (F.col("n_a") * F.col("n_b")))
@@ -1056,14 +1083,11 @@ def _pruned_rerank(corpus: DataFrame, candidates: DataFrame) -> DataFrame:
     scale measurements from the registered contract (round-7 review).
     The per-candidate dot is the expanded codegen form (bit-identical to
     the fold; functions/vectors.py)."""
-    from sqload_spark.functions.vectors import dot_expanded, norm
-
-    va = corpus.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"), norm(F.col("v")).alias("n_a")
+    _norm_sql = (
+        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x))"
     )
-    vb = corpus.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"), norm(F.col("v")).alias("n_b")
-    )
+    va = corpus.selectExpr("vec_id AS vec_a", "v AS v_a", f"{_norm_sql} AS n_a")
+    vb = corpus.selectExpr("vec_id AS vec_b", "v AS v_b", f"{_norm_sql} AS n_b")
     # No broadcast hints on the re-rank joins: the vector table is
     # corpus-sized, so forcing it broadcast would OOM at scale. Stats/AQE
     # pick broadcast at test SF (the table is tiny there) and a shuffle
@@ -1072,7 +1096,8 @@ def _pruned_rerank(corpus: DataFrame, candidates: DataFrame) -> DataFrame:
         candidates.join(va, "vec_a")
         .join(vb, "vec_b")
         .withColumn(
-            "cos_raw", dot_expanded(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b"))
+            "cos_raw",
+            F.expr(f"({dot_expanded_sql('v_a', 'v_b')}) / (n_a * n_b)"),
         )
         .filter(F.col("cos_raw") >= PRUNED_COSINE_THRESHOLD)
         .select("vec_a", "vec_b", round_half_up(F.col("cos_raw"), 4).alias("cos_sim"))
@@ -1156,7 +1181,7 @@ def embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator runs more bits per band and prunes aggressively. The knob is
     EMB_BITS_PER_BAND — the plan shape (band shuffle + candidate-only
     verification) is what survives 100 TB, not any fixed constant."""
-    from sqload_spark.functions.vectors import dot, norm, to_double_array
+    from sqload_spark.functions.vectors import to_double_array
 
     rng = __import__("numpy").random.RandomState(23)
     planes = spark.createDataFrame(
@@ -1184,25 +1209,35 @@ def embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (~7-14 s run-to-run) — at a production dedup threshold the
     # multiplicity and the candidate count both collapse (see the _pruned
     # twin below).
+    # All large expression trees below are built as SQL STRINGS parsed
+    # server-side in one shot (r11, see vectors.dot_expanded_sql): the
+    # former per-term Column loops issued ~900 py4j round trips per
+    # invocation (64-col unpack + two 64-term dots + re-pack), profiled at
+    # a dominant share of this query's warm construction wall. The parsed
+    # trees are term-for-term identical (same left-to-right association,
+    # same unpacked-scalar plan shape), so values and the plan audit are
+    # unchanged.
     dim = 64
-    v_cols = [F.element_at(F.col("v"), i + 1).alias(f"x{i}") for i in range(dim)]
-    emb_x = emb.select("vec_id", norm(F.col("v")).alias("n"), *v_cols)
+    _norm_sql = (
+        "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x))"
+    )
+    emb_x = emb.selectExpr(
+        "vec_id",
+        f"{_norm_sql} AS n",
+        *[f"element_at(v, {i + 1}) AS x{i}" for i in range(dim)],
+    )
 
-    def plane_dot() -> F.Column:
-        e = F.col("x0") * F.element_at(F.col("p"), 1)
-        for i in range(1, dim):
-            e = e + F.col(f"x{i}") * F.element_at(F.col("p"), i + 1)
-        return e
+    plane_dot_sql = " + ".join(
+        f"x{i} * element_at(p, {i + 1})" for i in range(dim)
+    )
 
     band_rows = (
         emb_x.join(F.broadcast(planes))
-        .select(
+        .selectExpr(
             "vec_id",
-            (F.col("plane") / EMB_BITS_PER_BAND).cast("int").alias("band"),
-            (
-                F.when(plane_dot() > 0, 1).otherwise(0)
-                * F.expr(f"shiftleft(1, plane % {EMB_BITS_PER_BAND})")
-            ).alias("bit"),
+            f"CAST(plane / {EMB_BITS_PER_BAND} AS INT) AS band",
+            f"(CASE WHEN ({plane_dot_sql}) > 0 THEN 1 ELSE 0 END)"
+            f" * shiftleft(1, plane % {EMB_BITS_PER_BAND}) AS bit",
         )
         .groupBy("vec_id", "band")
         .agg(F.sum("bit").alias("bv"))
@@ -1226,19 +1261,17 @@ def embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    va_x = emb_x.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("n").alias("n_a"),
-        *[F.col(f"x{i}").alias(f"a{i}") for i in range(dim)],
+    va_x = emb_x.selectExpr(
+        "vec_id AS vec_a",
+        "n AS n_a",
+        *[f"x{i} AS a{i}" for i in range(dim)],
     )
-    vb_x = emb_x.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("n").alias("n_b"),
-        *[F.col(f"x{i}").alias(f"b{i}") for i in range(dim)],
+    vb_x = emb_x.selectExpr(
+        "vec_id AS vec_b",
+        "n AS n_b",
+        *[f"x{i} AS b{i}" for i in range(dim)],
     )
-    dot_expr = F.col("a0") * F.col("b0")
-    for i in range(1, dim):
-        dot_expr = dot_expr + F.col(f"a{i}") * F.col(f"b{i}")
+    dot_expr = F.expr(" + ".join(f"a{i} * b{i}" for i in range(dim)))
     # No broadcast hints: the unpacked vector table is corpus-sized, so a
     # forced broadcast would OOM at scale. Stats/AQE still broadcast it at
     # test SF (tiny) and fall back to a vec_id shuffle join once it isn't.

@@ -31,8 +31,10 @@ from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
 from sqload_spark.functions.vectors import (
     EMB_VALID_SQL,
     cosine_expanded,
+    cosine_expanded_sql,
     dot,
     dot_expanded,
+    dot_expanded_sql,
     to_double_array,
 )
 
@@ -113,14 +115,14 @@ def topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
-    emb = emb.withColumn("nrm", F.sqrt(dot_expanded(F.col("v"), F.col("v"))))
+    emb = emb.withColumn("nrm", F.expr(f"sqrt({dot_expanded_sql('v', 'v')})"))
     q = _queries_df(emb).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
         "q_id",
         F.col("vec_id").alias("n_id"),
-        (dot_expanded(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos_raw"),
+        F.expr(f"({dot_expanded_sql('qv', 'v')}) / (qn * nrm)").alias("cos_raw"),
     )
     return _topk(pairs)
 
@@ -156,26 +158,45 @@ def _hyperplane_topk(
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
-    planes = _plane_literals(seed=7, n=n_planes)
+    # Signature expressions built as SQL STRINGS, one server-side parse
+    # (r11, see dot_expanded_sql): the former per-term Column loop issued
+    # ~2 000 F.lit py4j calls for the plane literals plus one fold per
+    # plane, measuring 5-11 s of driver-side construction per invocation
+    # — all inside the benched wall. The plane dot keeps the IDENTICAL
+    # zip_with/aggregate fold tree (repr(float) round-trips through the
+    # SQL double literal bit-exactly), and the integer band packing is
+    # exact arithmetic, so signatures — and therefore candidates and the
+    # re-ranked output — are unchanged (verified old-vs-new exceptAll,
+    # all SFs).
+    rng = np.random.RandomState(7)
+    plane_vals = rng.randn(n_planes, DIM)
     bits_per_band = n_planes // n_bands
     LSH_BANDS = n_bands
 
-    def band_cols(v: Column) -> list[Column]:
-        bits = [F.when(dot(v, p) > 0, 1).otherwise(0) for p in planes]
-        bands = []
-        for band in range(LSH_BANDS):
-            value = F.lit(0)
-            for k in range(bits_per_band):
-                value = value * 2 + bits[band * bits_per_band + k]
-            bands.append(value.alias(f"band{band}"))
-        return bands
+    def plane_dot_sql(row) -> str:
+        arr = ", ".join(f"{float(x)!r}D" for x in row)
+        return (
+            f"aggregate(zip_with(v, array({arr}), (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+
+    bit_sql = [
+        f"(CASE WHEN ({plane_dot_sql(row)}) > 0 THEN 1 ELSE 0 END)"
+        for row in plane_vals
+    ]
+    band_sql = []
+    for band in range(LSH_BANDS):
+        value = "0"
+        for k in range(bits_per_band):
+            value = f"({value} * 2 + {bit_sql[band * bits_per_band + k]})"
+        band_sql.append(f"{value} AS band{band}")
 
     # per-vector norm map-side, not per-pair (see topk_bruteforce)
-    sig = emb.select(
+    sig = emb.selectExpr(
         "vec_id",
         "v",
-        F.sqrt(dot_expanded(F.col("v"), F.col("v"))).alias("nrm"),
-        *band_cols(F.col("v")),
+        f"sqrt({dot_expanded_sql('v', 'v')}) AS nrm",
+        *band_sql,
     )
     q = _queries_df(sig).select(
         F.col("vec_id").alias("q_id"),
@@ -190,7 +211,7 @@ def _hyperplane_topk(
     pairs = sig.join(F.broadcast(q), (F.col("vec_id") != F.col("q_id")) & band_match).select(
         "q_id",
         F.col("vec_id").alias("n_id"),
-        (dot_expanded(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos_raw"),
+        F.expr(f"({dot_expanded_sql('qv', 'v')}) / (qn * nrm)").alias("cos_raw"),
     )
     return _topk(pairs)
 
@@ -250,7 +271,7 @@ def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = emb.select(
         "vec_id",
         "v",
-        F.sqrt(dot_expanded(F.col("v"), F.col("v"))).alias("nrm"),
+        F.expr(f"sqrt({dot_expanded_sql('v', 'v')}) AS nrm"),
         F.element_at(ranked_struct, 1)["idx"].alias("cluster"),
         F.slice(ranked_struct, 1, N_PROBE).alias("probe_structs"),
     )
@@ -271,7 +292,7 @@ def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
-            (dot_expanded(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cos_raw"),
+            F.expr(f"({dot_expanded_sql('qv', 'v')}) / (qn * nrm)").alias("cos_raw"),
         )
     )
     return _topk(pairs)
@@ -319,7 +340,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir).filter(F.col("vec_id") % 10 == 0)
     # per-vector norm map-side, not per-pair (see topk_bruteforce)
     sub = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
-    sub = sub.withColumn("nrm", F.sqrt(dot_expanded(F.col("v"), F.col("v"))))
+    sub = sub.withColumn("nrm", F.expr(f"sqrt({dot_expanded_sql('v', 'v')})"))
     right = sub.select(
         F.col("vec_id").alias("dst"), F.col("v").alias("dv"), F.col("nrm").alias("dn")
     )
@@ -329,7 +350,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "src",
             "dst",
-            (dot_expanded(F.col("v"), F.col("dv")) / (F.col("nrm") * F.col("dn"))).alias("cos_raw"),
+            F.expr(f"({dot_expanded_sql('v', 'dv')}) / (nrm * dn)").alias("cos_raw"),
         )
     )
     w = W.partitionBy("src").orderBy(F.col("cos_raw").desc(), F.col("dst"))
@@ -468,7 +489,7 @@ def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir).filter(F.col("vec_id") % 10 == 0)
     # per-vector norm map-side, not per-pair (see topk_bruteforce)
     sub = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
-    sub = sub.withColumn("nrm", F.sqrt(dot_expanded(F.col("v"), F.col("v"))))
+    sub = sub.withColumn("nrm", F.expr(f"sqrt({dot_expanded_sql('v', 'v')})"))
     right = sub.select(
         F.col("vec_id").alias("dst"), F.col("v").alias("dv"), F.col("nrm").alias("dn")
     )
@@ -478,7 +499,7 @@ def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "src",
             "dst",
-            (dot_expanded(F.col("v"), F.col("dv")) / (F.col("nrm") * F.col("dn"))).alias("cos_raw"),
+            F.expr(f"({dot_expanded_sql('v', 'dv')}) / (nrm * dn)").alias("cos_raw"),
         )
     )
     w = W.partitionBy("src").orderBy(F.col("cos_raw").desc(), F.col("dst"))
@@ -673,7 +694,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     q = _queries_df(emb).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-    rel6 = round_half_up(cosine_expanded(F.col("qv"), F.col("v")), 6)
+    rel6 = round_half_up(F.expr(cosine_expanded_sql("qv", "v")), 6)
     pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
         "q_id", F.col("vec_id").alias("n_id"), F.col("v"), rel6.alias("rel")
     )
@@ -694,7 +715,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.q_id").alias("q_id"),
             F.col("a.n_id").alias("i"),
             F.col("b.n_id").alias("j"),
-            round_half_up(cosine_expanded(F.col("a.v"), F.col("b.v")), 6).alias("sim"),
+            round_half_up(F.expr(cosine_expanded_sql("a.v", "b.v")), 6).alias("sim"),
         )
     )
 
@@ -880,7 +901,7 @@ def crossencoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     q = _queries_df(emb).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-    rel6 = round_half_up(cosine_expanded(F.col("qv"), F.col("v")), 6)
+    rel6 = round_half_up(F.expr(cosine_expanded_sql("qv", "v")), 6)
     pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
         "q_id", F.col("vec_id").alias("n_id"), rel6.alias("rel")
     )

@@ -116,6 +116,25 @@ def get_spark(app_name: str = "sqload_spark", shuffle_partitions: int | None = N
     return spark
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def shuffle_scope(spark: SparkSession, partitions: int):
+    """Pin spark.sql.shuffle.partitions for a bounded section, restoring
+    the previous value after (r11). For iterative driver-coordinated loops
+    over SMALL tables (connected-components label propagation) the
+    session-wide value — sized for corpus-scale shuffles — buys nothing
+    per iteration but per-task overhead × iterations × jobs; callers pass
+    a count derived from the data (scale-adaptive), never a constant."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(1, int(partitions))))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 _PERSISTED: dict[str, object] = {}
 _PERSISTED_LOCK = threading.Lock()
 

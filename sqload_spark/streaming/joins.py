@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
 from sqload_spark.registry import query
 from sqload_spark.sources.tables import load_table
-from sqload_spark.streaming.windows import run_to_memory, stream_events
+from sqload_spark.streaming.windows import (
+    events_source_bytes,
+    run_to_memory,
+    source_bytes,
+    stream_events,
+)
 from sqload_spark.session import scratch_dir
 
 # Split users into activity segments on total batch event count. The
@@ -79,7 +84,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum("value").alias("sum_value_raw"),
     )
-    out = run_to_memory(agg, output_mode="complete")
+    out = run_to_memory(agg, output_mode="complete", src_bytes=events_source_bytes(sf_dir))
     return out.select(
         "segment",
         "event_type",
@@ -143,7 +148,9 @@ def stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.col("p_ts_us") - F.col("c_ts_us")).alias("gap_us"),
     )
-    out = run_to_memory(joined, output_mode="append")
+    out = run_to_memory(
+        joined, output_mode="append", src_bytes=events_source_bytes(sf_dir)
+    )
     return out.orderBy("click_id", "purchase_id")
 
 
@@ -256,5 +263,5 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_id").alias("purchase_id"),
         (F.col("p_ts_us") - F.col("c_ts_us")).alias("gap_us"),
     )
-    out = run_to_memory(joined, output_mode="append")
+    out = run_to_memory(joined, output_mode="append", src_bytes=source_bytes(in_dir))
     return out.orderBy("click_id", "purchase_id")

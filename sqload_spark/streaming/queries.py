@@ -17,7 +17,13 @@ from pyspark.sql import functions as F
 from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
 from sqload_spark.operators.timeseries import FIVE_MIN_US, SESSION_GAP_US, TEN_MIN_US
 from sqload_spark.registry import query
-from sqload_spark.streaming.windows import run_to_memory, stream_events
+from sqload_spark.streaming.windows import (
+    events_source_bytes,
+    run_to_memory,
+    source_bytes,
+    stream_events,
+    stream_state_scope,
+)
 from sqload_spark.session import scratch_dir
 
 
@@ -43,7 +49,7 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value_raw"))
     )
-    out = run_to_memory(agg, output_mode="complete")
+    out = run_to_memory(agg, output_mode="complete", src_bytes=events_source_bytes(sf_dir))
     return out.select(
         F.unix_timestamp(F.col("w.start")).alias("ws_sec"),
         "event_type",
@@ -94,7 +100,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("session_start_us"),
         F.max("ts_us").alias("session_end_us"),
     )
-    out = run_to_memory(agg, output_mode="complete")
+    out = run_to_memory(agg, output_mode="complete", src_bytes=events_source_bytes(sf_dir))
     return out.select(
         "user_id", "session_start_us", "session_end_us", "n_events"
     ).orderBy("user_id", "session_start_us")
@@ -127,7 +133,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = keyed.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["user_id", "bucket_sec", "event_type"]
     )
-    out = run_to_memory(dd, output_mode="append")
+    out = run_to_memory(dd, output_mode="append", src_bytes=events_source_bytes(sf_dir))
     return out.select("user_id", "bucket_sec", "event_type").orderBy(
         "user_id", "bucket_sec", "event_type"
     )
@@ -202,13 +208,17 @@ def stream_microbatch_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
+    # NOT stream_state_scope'd (r11 A/B): this stream is STATELESS — no
+    # state stores — and its cost is the inner foreachBatch batch jobs,
+    # which want the session's full parallelism, not the state-sized value
+    # (scoping the sibling upsert stream measured 6.3 s → 14.1 s WORSE).
+    expected = ev.count()
     q = (
         stream.writeStream.foreachBatch(per_batch)
         .option("checkpointLocation", scratch_dir(prefix="sqload_mb_ckpt_"))
         .trigger(processingTime="200 milliseconds")
         .start()
     )
-    expected = ev.count()
     try:
         deadline = _time.monotonic() + 120
         got = None
@@ -261,7 +271,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value_raw"))
     )
-    out = run_to_memory(agg, output_mode="complete")
+    out = run_to_memory(agg, output_mode="complete", src_bytes=events_source_bytes(sf_dir))
     return out.select(
         F.unix_timestamp(F.col("w.start")).alias("ws_sec"),
         "n_events",
@@ -349,6 +359,9 @@ def stream_upsert_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
+    # NOT stream_state_scope'd (r11 A/B): stateless stream; the cost is the
+    # foreachBatch MERGE joins + snapshot parquet round trips, which want
+    # full batch parallelism — scoping measured 6.3 s → 14.1 s WORSE.
     q = (
         stream.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", scratch_dir(prefix="sqload_up_ckpt_"))
@@ -434,10 +447,26 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.expr("ts_ns div 1000")).alias("ts"),
         bucket.alias("bk"),
     )
+    import os as _os
+
     in_dir = scratch_dir(prefix="sqload_late_in_")
+    # Deterministic file-source order WITHOUT wall-clock sleeps (r11: the
+    # former sleep(1.1) per batch was 3.3 s of pure bench wall): the source
+    # orders files by modification time, so write all three batches back to
+    # back, then stamp each write's files with explicit mtimes 10 s apart
+    # via os.utime — same ordering guarantee, zero waiting.
+    groups: list[list[str]] = []
+    seen_files: set[str] = set()
     for cond in (F.col("bk") >= 2, F.col("bk") == 1, F.col("bk") == 0):
         ev.filter(cond).coalesce(1).write.mode("append").parquet(in_dir)
-        _time.sleep(1.1)  # distinct mtimes -> deterministic file-source order
+        files = {f for f in _os.listdir(in_dir) if not f.startswith(("_", "."))}
+        groups.append(sorted(files - seen_files))
+        seen_files = files
+    now = _time.time()
+    for k, group in enumerate(groups):
+        t = now - (len(groups) - 1 - k) * 10
+        for f in group:
+            _os.utime(_os.path.join(in_dir, f), (t, t))
 
     stream = (
         spark.readStream.schema("event_id long, ts timestamp, bk long")
@@ -450,32 +479,34 @@ def stream_late_data_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     name = f"late_{_uuid.uuid4().hex[:10]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", scratch_dir(prefix="sqload_late_ckpt_"))
-        .trigger(processingTime="200 milliseconds")
-        .start()
-    )
     total_rows = ev.count()
-    try:
-        deadline = _time.monotonic() + 120
-        seen = 0
-        while _time.monotonic() < deadline and seen < total_rows:
-            _time.sleep(0.2)
-            seen = sum(p["numInputRows"] for p in q.recentProgress)
-        if seen < total_rows:
-            raise RuntimeError(f"late-data stream incomplete: {seen}/{total_rows}")
-        # wait for the watermark-advancing no-data batch to flush the sink
-        stable, last = 0, -1
-        while _time.monotonic() < deadline and stable < 5:
-            _time.sleep(0.2)
-            n = spark.table(name).count()
-            stable, last = (stable + 1, n) if n == last else (0, n)
-    finally:
-        q.stop()
-        q.awaitTermination()
+    with stream_state_scope(spark, source_bytes(in_dir)):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", scratch_dir(prefix="sqload_late_ckpt_"))
+            .trigger(processingTime="100 milliseconds")
+            .start()
+        )
+        try:
+            deadline = _time.monotonic() + 120
+            seen = 0
+            while _time.monotonic() < deadline and seen < total_rows:
+                _time.sleep(0.1)
+                seen = sum(p["numInputRows"] for p in q.recentProgress)
+            if seen < total_rows:
+                raise RuntimeError(f"late-data stream incomplete: {seen}/{total_rows}")
+            # wait for the watermark-advancing no-data batch to flush the
+            # sink: stable sink count across 5 polls = 5 trigger periods
+            stable, last = 0, -1
+            while _time.monotonic() < deadline and stable < 5:
+                _time.sleep(0.1)
+                n = spark.table(name).count()
+                stable, last = (stable + 1, n) if n == last else (0, n)
+        finally:
+            q.stop()
+            q.awaitTermination()
     return (
         spark.table(name)
         .select(F.unix_timestamp(F.col("w.start")).alias("ws_sec"), "n_events")
@@ -539,7 +570,9 @@ def stream_drift_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("c"))
     )
-    win = run_to_memory(agg, output_mode="complete").select(
+    win = run_to_memory(
+        agg, output_mode="complete", src_bytes=events_source_bytes(sf_dir)
+    ).select(
         F.unix_micros(F.col("w.start")).alias("ws_us"), "event_type", "c"
     )
     batch = load_table(spark, sf_dir, "events")

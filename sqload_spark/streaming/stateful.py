@@ -20,7 +20,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from sqload_spark.registry import query
-from sqload_spark.streaming.windows import run_to_memory, stream_events
+from sqload_spark.streaming.windows import events_source_bytes, run_to_memory, stream_events
 
 OUTPUT_SCHEMA = T.StructType(
     [
@@ -100,7 +100,9 @@ def stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    out = run_to_memory(profiled, output_mode="update")
+    out = run_to_memory(
+        profiled, output_mode="update", src_bytes=events_source_bytes(sf_dir)
+    )
     return (
         out.groupBy("user_id")
         .agg(

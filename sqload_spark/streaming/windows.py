@@ -11,13 +11,72 @@ continuously; nothing in the transformations changes.
 
 from __future__ import annotations
 
+import glob as _glob
+import math
+import os
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from sqload_spark.session import configure, scratch_dir
+
+# --- scale-adaptive streaming state partitioning (round 11, guide §2) -------
+# Every stateful streaming operator (windowed agg, dedup-within-watermark,
+# stream-stream join) runs ONE state-store task per spark.sql.shuffle.partitions
+# value pinned at query start, EVERY micro-batch: load the store, apply the
+# batch's rows, commit a delta file. With the session default (= core count)
+# over a megabytes-scale replay source, nearly all of that is per-partition
+# fixed cost on empty/near-empty stores — measured r11: the three stream-stream
+# entries spent most of their 6.9-9.1 s there. Sizing state partitions from the
+# SOURCE BYTES (32 MB per state partition, floor 4, cap 4× parallelism) keeps
+# micro-batch overhead proportional to data at any scale: a 2 MB bench replay
+# gets 4 partitions; a 100 TB/day feed saturates the 4×-cores cap, which is the
+# same order a static tuning would pick for a busy production stream.
+# Override with SQLOAD_STREAM_SHUFFLE_PARTITIONS (A/B dial; semantics-free —
+# state partitioning never changes aggregation/join/dedup results, only where
+# keys live).
+_STREAM_STATE_BYTES_PER_PARTITION = 32 * 1024 * 1024
+_STREAM_STATE_MIN_PARTITIONS = 4
+
+
+def source_bytes(path_or_glob: str) -> int:
+    """Total bytes under a file-stream source path/glob (driver-side stat)."""
+    total = 0
+    for p in _glob.glob(path_or_glob) or [path_or_glob]:
+        if os.path.isdir(p):
+            for root, _dirs, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    return total
+
+
+def stream_shuffle_partitions(spark: SparkSession, src_bytes: int) -> int:
+    env = os.environ.get("SQLOAD_STREAM_SHUFFLE_PARTITIONS", "").strip()
+    if env:
+        return max(1, int(env))
+    cpus = spark.sparkContext.defaultParallelism
+    by_bytes = math.ceil(max(src_bytes, 1) / _STREAM_STATE_BYTES_PER_PARTITION)
+    return max(_STREAM_STATE_MIN_PARTITIONS, min(cpus * 4, by_bytes))
+
+
+@contextmanager
+def stream_state_scope(spark: SparkSession, src_bytes: int):
+    """Pin spark.sql.shuffle.partitions to the scale-adaptive streaming value
+    for the duration of a streaming query's start→awaitTermination span (the
+    value is captured into the checkpoint at start; foreachBatch inner jobs
+    read the live conf, so the scope must cover the whole run)."""
+    n = stream_shuffle_partitions(spark, src_bytes)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
 
 def _events_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
@@ -30,6 +89,11 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
             T.StructField("props", T.StringType()),
         ]
     )
+
+
+def events_source_bytes(sf_dir: str) -> int:
+    """Bytes of the events file-stream source (feeds stream_state_scope)."""
+    return source_bytes(f"{sf_dir}/events.parquet*")
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,20 +123,34 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def run_to_memory(sdf: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_to_memory(
+    sdf: DataFrame, output_mode: str = "complete", src_bytes: int | None = None
+) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
-    memory sink and return the sink contents as a batch DataFrame."""
+    memory sink and return the sink contents as a batch DataFrame.
+
+    ``src_bytes`` (the file-source's total bytes, see ``source_bytes``)
+    switches state partitioning to the scale-adaptive streaming value for
+    the run; None keeps the session setting (legacy behavior)."""
     name = f"sink_{uuid.uuid4().hex[:12]}"
-    query = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", scratch_dir(prefix="sqload_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+
+    def _run() -> None:
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", scratch_dir(prefix="sqload_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
     spark = sdf.sparkSession
+    if src_bytes is None:
+        _run()
+    else:
+        with stream_state_scope(spark, src_bytes):
+            _run()
     return spark.table(name)
 
 
