@@ -366,11 +366,20 @@ def _labels_from_pairs(pairs: DataFrame) -> DataFrame:
 
 
 def _labels_iterate(edges: DataFrame) -> DataFrame:
+    # localCheckpoint(eager=False) throughout (r11, guide §1.2 "fewer
+    # passes"): an EAGER checkpoint is its own job; the convergence count
+    # right after it is a second job over the same rows. Lazy checkpointing
+    # folds both into one — the count() materializes the checkpoint, and by
+    # the time the next iteration's plan is built the lineage is already
+    # truncated (the guarantee the checkpoint exists for). The initial
+    # labels checkpoint materializes inside iteration 1's first job the
+    # same way. Measured (alternating 4-pass A/B at sf0.1, full CC run
+    # incl. the LSH mine, labels identical): calm-window min 9.2 → 4.3 s.
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("lbl", F.col("doc_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for it in range(10):
         neighbor_min = (
@@ -405,7 +414,7 @@ def _labels_iterate(edges: DataFrame) -> DataFrame:
             "doc_id",
             new_lbl.alias("lbl"),
             (new_lbl != F.col("lbl")).alias("chg"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         changed = stepped.filter(F.col("chg")).count()
         labels = stepped.select("doc_id", "lbl")
         if changed == 0:
@@ -1183,11 +1192,11 @@ def embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification) is what survives 100 TB, not any fixed constant."""
     from sqload_spark.functions.vectors import to_double_array
 
-    rng = __import__("numpy").random.RandomState(23)
-    planes = spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(rng.randn(EMB_N_PLANES, 64))],
-        "plane int, p array<double>",
-    )
+    import numpy as np
+
+    # Same seeded plane stream every round has used (RandomState(23), plane
+    # order) — the values define the candidate set, so they are pinned.
+    plane_mat = np.random.RandomState(23).randn(EMB_N_PLANES, 64)
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
@@ -1197,18 +1206,18 @@ def embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # higher-order array functions are INTERPRETED per row; the expanded
     # sum compiles into WholeStageCodegen with the same left-to-right
     # association, so values stay bit-identical to the fold (and to the
-    # oracle). Re-rank fold 12.5 s → ~3 s over 2M pairs. The signature
-    # pass keeps the same expanded form but measures ~5 s either way —
-    # at 128 K rows it is stage-overhead-bound, not fold-bound.
+    # oracle). Re-rank fold 12.5 s → ~3 s over 2M pairs. (The signature
+    # pass moved to BLAS in r11 — see the comment at its definition below.)
     # Plan-shape notes, also measured: (a) the candidate DISTINCT runs on
     # the narrow 16M-row match stream BEFORE the wide vector join —
     # filtering cosine first instead ships 130 broadcast-joined columns
     # through the match stream and loses 3× (36-43 s); (b) a pair matches
     # ~8 of 32 bands at this low-contrast threshold, so the distinct's 16M
     # → 2M shuffle is the irreducible cost of the banding shape here
-    # (~7-14 s run-to-run) — at a production dedup threshold the
-    # multiplicity and the candidate count both collapse (see the _pruned
-    # twin below).
+    # (isolated r11: ~1.0-1.4 s warm over the cached signatures; a
+    # packed-single-long distinct was measured no faster and is unsafe past
+    # 2³² ids) — at a production dedup threshold the multiplicity and the
+    # candidate count both collapse (see the _pruned twin below).
     # All large expression trees below are built as SQL STRINGS parsed
     # server-side in one shot (r11, see vectors.dot_expanded_sql): the
     # former per-term Column loops issued ~900 py4j round trips per
@@ -1227,21 +1236,47 @@ def embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"element_at(v, {i + 1}) AS x{i}" for i in range(dim)],
     )
 
-    plane_dot_sql = " + ".join(
-        f"x{i} * element_at(p, {i + 1})" for i in range(dim)
-    )
+    # Signature pass in BLAS (r11, guide §4.2): the expr form — broadcast
+    # plane join + 64-term plane dot per (vector, plane) row + groupBy —
+    # measured 3.53 s warm at sf0.1 vs 0.31 s for one numpy
+    # (batch × 64) @ (64 × 32) matmul per Arrow batch with the band values
+    # assembled by a second tiny matmul (the same backend the _pruned scale
+    # twin shipped in round 11; band rows verified BIT-IDENTICAL against
+    # the expr pass on this corpus, 64 000 rows). Map-side only: planes are
+    # a broadcast ndarray, no shuffle enters, and batches are bounded by
+    # arrow.maxRecordsPerBatch — the shape scales exactly like the expr
+    # pass it replaces. Sign-flip robustness is inherent in banding (a
+    # borderline plane dot perturbs one band; a true pair collides in ~8
+    # of 16 bands at this threshold), and the recall math is unchanged.
+    # load_embeddings' validity contract guarantees every v is a finite
+    # 64-wide double array, so np.stack is total.
+    n_bands = EMB_N_PLANES // EMB_BITS_PER_BAND
+    bp = spark.sparkContext.broadcast(plane_mat)
 
-    band_rows = (
-        emb_x.join(F.broadcast(planes))
-        .selectExpr(
-            "vec_id",
-            f"CAST(plane / {EMB_BITS_PER_BAND} AS INT) AS band",
-            f"(CASE WHEN ({plane_dot_sql}) > 0 THEN 1 ELSE 0 END)"
-            f" * shiftleft(1, plane % {EMB_BITS_PER_BAND}) AS bit",
-        )
-        .groupBy("vec_id", "band")
-        .agg(F.sum("bit").alias("bv"))
-    )
+    def _sig_gen(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        P = bp.value
+        bits = EMB_BITS_PER_BAND
+        weights = 1 << _np.arange(bits, dtype=_np.int64)
+        band_col = _np.arange(n_bands, dtype=_np.int32)
+        for pdf in batches:
+            m = len(pdf)
+            if m == 0:
+                continue
+            V = _np.stack(pdf["v"].to_numpy()).astype(_np.float64)
+            signs = (V @ P.T > 0).astype(_np.int64)
+            bv = signs.reshape(m, n_bands, bits) @ weights
+            yield _pd.DataFrame(
+                {
+                    "vec_id": _np.repeat(pdf["vec_id"].to_numpy(), n_bands),
+                    "band": _np.tile(band_col, m),
+                    "bv": bv.ravel(),
+                }
+            )
+
+    band_rows = emb.mapInPandas(_sig_gen, "vec_id long, band int, bv bigint")
     # Persist the signature table before the self-join: unlike the MinHash
     # bands (where persist-vs-recompute measured a wash), the 64-term plane
     # dots make this pass expensive enough that computing it for BOTH join
@@ -1639,30 +1674,46 @@ def prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     output probably-equals nothing, it EQUALS the exact join, which is why
     this query shares the exact oracle verbatim.
 
-    Scale shape: one df-count aggregation (vocabulary-sized), one rank
-    window per doc, and the candidate join runs on the RAREST shingles
-    only — the frequent shingles that explode an inverted-index join are
-    exactly the ones the prefix excludes. Verification is candidate-only,
-    as in the LSH path."""
+    Scale shape: one df-count aggregation (vocabulary-sized), one per-doc
+    rarity-sort aggregation, and the candidate join runs on the RAREST
+    shingles only — the frequent shingles that explode an inverted-index
+    join are exactly the ones the prefix excludes. Verification is
+    candidate-only, as in the LSH path."""
     docs = load_table(spark, sf_dir, "documents")
-    # persist: the exploded shingle table feeds THREE consumers (df counts,
-    # per-doc sizes, the prefix base) — without it each consumer re-parses
-    # and re-hashes the corpus (measured 9.6 → 6.7 s warm at sf0.1);
-    # bounded so repeated invocations don't accumulate cached epochs
+    # persist: the exploded shingle table feeds TWO consumers (df counts,
+    # the prefix base) — without it each consumer re-parses and re-hashes
+    # the corpus (measured 9.6 → 6.7 s warm at sf0.1); bounded so repeated
+    # invocations don't accumulate cached epochs
     sh = persist_bounded(
         "dedup_prefix_filter.sh",
         docs.select("doc_id", F.explode(shingle_hashes(F.col("text"), 3)).alias("h")),
     )
     df_counts = sh.groupBy("h").agg(F.count("*").alias("df"))
-    n_per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    w = W.partitionBy("doc_id").orderBy("df", "h")
+    # Prefix selection as ONE per-doc aggregation (r11, guide §2.4): the
+    # former shape — a row_number window ordered by (df, h) plus a separate
+    # per-doc size aggregation joined back — cost two extra shuffles (the
+    # n_per_doc groupBy and the window's doc_id sort-exchange on the full
+    # shingle table). sort_array(collect_list(struct(df, h))) establishes
+    # the identical rarity order ((df, h) is a total order per doc: shingle
+    # hashes are distinct within a doc), the doc's shingle count is
+    # size(arr) (same distinct-shingle count n_per_doc measured), and
+    # slice(…, 1, n div 2 + 1) is exactly rnk <= n div 2 + 1 — the t=0.5
+    # prefix length n - ceil(n/2) + 1. Per-doc state is bounded by document
+    # length, the same bound the window's per-doc group already carried.
+    # Measured (alternating 4-pass A/B at sf0.1, same session, rows
+    # identical): 6.68 → 4.55 s min. Rebuilding the verify-side shingle
+    # arrays from the persisted sh instead was re-measured a wash (4.62 s),
+    # confirming the r2 finding — kept as-is.
     prefix = (
         sh.join(df_counts, "h")
-        .withColumn("rnk", F.row_number().over(w))
-        .join(n_per_doc, "doc_id")
-        # prefix length for threshold t=0.5: n - ceil(n/2) + 1 = n div 2 + 1
-        .filter(F.col("rnk") <= F.expr("n div 2") + 1)
-        .select("doc_id", "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("arr"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(slice(arr, 1, size(arr) div 2 + 1), x -> x.h)")
+            ).alias("h"),
+        )
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     candidates = (

@@ -503,3 +503,42 @@ def test_band_partitions_default_ladder():
     assert _band_partitions_for(2_100, "gemm") is None
     for n in (2_100, 630_000, 1_075_200, 2_150_400):
         assert _band_partitions_for(n, "expr") is None
+
+
+def test_prefix_filter_agg_prefix_equals_window_prefix(spark):
+    """Law for the r11 prefix-selection restructure: the per-doc
+    sort_array(collect_list(struct(df, h))) + slice aggregation must select
+    EXACTLY the shingles the original definition selected — the first
+    n div 2 + 1 per doc under the (df, h) rarity order via row_number.
+    (df, h) is a total order within a doc (shingle hashes are distinct per
+    doc), so the two forms are equivalent by construction; this pins it."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from sqload_spark.functions.text_funcs import shingle_hashes
+    from sqload_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sh = docs.select("doc_id", F.explode(shingle_hashes(F.col("text"), 3)).alias("h"))
+    df_counts = sh.groupBy("h").agg(F.count("*").alias("df"))
+    n_per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    w = W.partitionBy("doc_id").orderBy("df", "h")
+    windowed = (
+        sh.join(df_counts, "h")
+        .withColumn("rnk", F.row_number().over(w))
+        .join(n_per_doc, "doc_id")
+        .filter(F.col("rnk") <= F.expr("n div 2") + 1)
+        .select("doc_id", "h")
+    )
+    agged = (
+        sh.join(df_counts, "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("arr"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(slice(arr, 1, size(arr) div 2 + 1), x -> x.h)")
+            ).alias("h"),
+        )
+    )
+    assert {tuple(r) for r in agged.collect()} == {tuple(r) for r in windowed.collect()}
