@@ -1276,7 +1276,20 @@ def embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    band_rows = emb.mapInPandas(_sig_gen, "vec_id long, band int, bv bigint")
+    # Re-spread the signature cache before persisting (r11 follow-up,
+    # guide §2.5): mapInPandas output inherits the SCAN's partitioning —
+    # one partition for the single-file bench corpus — and a 1-partition
+    # cache makes the band self-join's probe side (the 16 M-row match
+    # stream + the distinct's partial aggregation) run in ONE task
+    # (measured: warm exec 2.3 → 6.1 s after the BLAS change alone; this
+    # repartition restores it). Keyless round-robin, NOT hash on
+    # (band, bv): only 16 bands × 4 two-bit values = 64 distinct keys
+    # exist, far under the 20-100×-keys-per-partition rule, so a hash
+    # spread would leave partitions empty and concentrate hot buckets.
+    # defaultParallelism is the session's scale dial, not a constant.
+    band_rows = emb.mapInPandas(
+        _sig_gen, "vec_id long, band int, bv bigint"
+    ).repartition(spark.sparkContext.defaultParallelism)
     # Persist the signature table before the self-join: unlike the MinHash
     # bands (where persist-vs-recompute measured a wash), the 64-term plane
     # dots make this pass expensive enough that computing it for BOTH join
