@@ -319,6 +319,15 @@ def main() -> None:
         "r3_subset_sec": round(sum(timings[k] for k in R3_SUBSET if k in timings), 3),
         "pass_totals": [m["total_sec"] for m in pass_meta],
         "stall_flags": sum(len(m["stalls"]) for m in pass_meta),
+        # Per-pass sentinel medians in the stdout scalars (r12 — VERDICT r11
+        # "Next round" #5): the stall sentinel's 10× threshold catches
+        # spikes, but a DIFFUSE 1.5-2× host storm (r11 driver run: pass
+        # totals 253/159 s with stall_flags 0) was only diagnosable from
+        # builder-side context. The pass MEDIAN sentinel reading is the
+        # host-health scalar that classifies those storms from the one-line
+        # JSON alone: a healthy pass reads ~0.04-0.08 s; a storm lifts the
+        # median itself. Additive only — no timing or total changes.
+        "sentinel_medians": [m["sentinel_median_sec"] for m in pass_meta],
     }
     # a subset run must not clobber the committed full-suite artifact
     detail_name = "BENCH_DETAIL.json" if only is None else "BENCH_DETAIL_subset.json"

@@ -371,35 +371,47 @@ def _labels_iterate(edges: DataFrame) -> DataFrame:
     # right after it is a second job over the same rows. Lazy checkpointing
     # folds both into one — the count() materializes the checkpoint, and by
     # the time the next iteration's plan is built the lineage is already
-    # truncated (the guarantee the checkpoint exists for). The initial
-    # labels checkpoint materializes inside iteration 1's first job the
-    # same way. Measured (alternating 4-pass A/B at sf0.1, full CC run
-    # incl. the LSH mine, labels identical): calm-window min 9.2 → 4.3 s.
+    # truncated (the guarantee the checkpoint exists for). Measured (r11,
+    # alternating 4-pass A/B at sf0.1, full CC run incl. the LSH mine,
+    # labels identical): calm-window min 9.2 → 4.3 s.
+    #
+    # Iteration 0 FUSED into the label init (r12, guide §1.2): with labels
+    # starting as each node's own id, the first neighbor-min is just
+    # least(doc_a, min(doc_b)) — one aggregation over the edge cache, no
+    # join, no separate convergence round. Profiled at sf0.1: each loop
+    # round costs ~0.4-0.6 s of DRIVER-side plan construction (the
+    # localCheckpoint compiles the plan eagerly) against a ~0.07 s count
+    # job, so removing a whole round is worth far more than its job time.
+    # Equivalence: labels after the fused init = least(own, min over
+    # neighbors' initial labels) — exactly iteration 0's output (the jump
+    # join was already skipped there: lbl(lbl) is the identity on own-id
+    # labels). Iteration 0's convergence count never fired: symmetrized
+    # a<b pair edges guarantee some label changes whenever edges exist,
+    # and the edges-empty case yields an empty label table on both paths.
+    # Measured (alternating 4-pass A/B at sf0.1, BOTH orders, labels
+    # identical): component_labels 4.42 → 3.94 s / 4.60 → 4.09 s min.
+    # The total iteration budget is unchanged: fused init + 9 jump rounds
+    # = the old 10-round cap (diameter ~2^10 with pointer jumping; the
+    # 60-node-path law test in tests/test_llm_pipeline.py pins coverage).
     labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("lbl", F.col("doc_id"))
+        edges.groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.least(F.col("doc_a"), F.min("doc_b")).alias("lbl"))
         .localCheckpoint(eager=False)
     )
-    for it in range(10):
+    for _it in range(9):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("lbl").alias("nmin"))
         )
         stepped = labels.join(neighbor_min, "doc_id", "left")
-        if it > 0:
-            # lbl(lbl(v)): identity in iteration 0 (labels start as own id),
-            # so the jump join is skipped there
-            jump = labels.join(
-                labels.select(F.col("doc_id").alias("j_id"), F.col("lbl").alias("jmin")),
-                F.col("lbl") == F.col("j_id"),
-            ).select("doc_id", "jmin")
-            stepped = stepped.join(jump, "doc_id", "left")
-        else:
-            stepped = stepped.withColumn(
-                "jmin", F.lit(None).cast(dict(labels.dtypes)["lbl"])
-            )
+        # lbl(lbl(v)): every label value is itself a node id, so one
+        # self-join halves the remaining distance to the component minimum
+        jump = labels.join(
+            labels.select(F.col("doc_id").alias("j_id"), F.col("lbl").alias("jmin")),
+            F.col("lbl") == F.col("j_id"),
+        ).select("doc_id", "jmin")
+        stepped = stepped.join(jump, "doc_id", "left")
         # carry the change flag THROUGH the checkpoint instead of re-joining
         # new labels against old ones afterwards (r11: the extra join was a
         # full shuffle per iteration; `stepped` already holds the old lbl,
@@ -936,19 +948,31 @@ def _pruned_signatures(
     )
 
 
-def _pruned_signatures_gemm(corpus: DataFrame, bits: int, bands: int) -> DataFrame:
+def _pruned_signatures_gemm(
+    corpus: DataFrame, bits: int, bands: int, planes_t=None
+) -> DataFrame:
     """GEMM backend of _pruned_signatures (see its docstring for the
-    parity contract). The plane matrix is the SAME seeded stream in the
-    same band order (RandomState(41), n_planes × 64), broadcast once as a
-    transposed (64 × n_planes) ndarray (~2.3 MB at 24×188). Output batches
-    are chunked so a 10 k-row Arrow input at 188 bands never emits one
+    parity contract). By default the plane matrix is the SAME seeded
+    stream in the same band order (RandomState(41), n_planes × 64); a
+    caller with its own pinned plane stream passes it TRANSPOSED
+    ((64 × n_planes) — embedding_cosine_banded's RandomState(23) planes
+    come in this way, so the registered query and the pruned twin share
+    one GEMM body, one output-chunking policy and one parity test shape
+    instead of two divergent copies, ADVICE r11). The matrix is broadcast
+    once per invocation (~2.3 MB at 24×188) and deliberately never
+    destroyed: the returned plan is lazy and persisted copies can be
+    re-materialized after cache eviction, so the broadcast must outlive
+    this function — the per-invocation residue is KB-scale and bounded by
+    invocation count (ADVICE r11, documented trade). Output batches are
+    chunked so a 10 k-row Arrow input at 188 bands never emits one
     1.9 M-row pandas frame."""
     import numpy as np
 
     n_planes = bits * bands
-    planes_t = np.ascontiguousarray(
-        np.random.RandomState(41).randn(n_planes, 64).T
-    )
+    if planes_t is None:
+        planes_t = np.ascontiguousarray(
+            np.random.RandomState(41).randn(n_planes, 64).T
+        )
     weights = np.int64(1) << np.arange(bits, dtype=np.int64)
     bc = corpus.sparkSession.sparkContext.broadcast(planes_t)
     vid_type = corpus.schema["vec_id"].dataType.simpleString()
@@ -1247,34 +1271,10 @@ def embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arrow.maxRecordsPerBatch — the shape scales exactly like the expr
     # pass it replaces. Sign-flip robustness is inherent in banding (a
     # borderline plane dot perturbs one band; a true pair collides in ~8
-    # of 16 bands at this threshold), and the recall math is unchanged.
+    # of 32 bands at this threshold), and the recall math is unchanged.
     # load_embeddings' validity contract guarantees every v is a finite
     # 64-wide double array, so np.stack is total.
     n_bands = EMB_N_PLANES // EMB_BITS_PER_BAND
-    bp = spark.sparkContext.broadcast(plane_mat)
-
-    def _sig_gen(batches):
-        import numpy as _np
-        import pandas as _pd
-
-        P = bp.value
-        bits = EMB_BITS_PER_BAND
-        weights = 1 << _np.arange(bits, dtype=_np.int64)
-        band_col = _np.arange(n_bands, dtype=_np.int32)
-        for pdf in batches:
-            m = len(pdf)
-            if m == 0:
-                continue
-            V = _np.stack(pdf["v"].to_numpy()).astype(_np.float64)
-            signs = (V @ P.T > 0).astype(_np.int64)
-            bv = signs.reshape(m, n_bands, bits) @ weights
-            yield _pd.DataFrame(
-                {
-                    "vec_id": _np.repeat(pdf["vec_id"].to_numpy(), n_bands),
-                    "band": _np.tile(band_col, m),
-                    "bv": bv.ravel(),
-                }
-            )
 
     # Re-spread the signature cache before persisting (r11 follow-up,
     # guide §2.5): mapInPandas output inherits the SCAN's partitioning —
@@ -1283,12 +1283,20 @@ def embedding_cosine_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream + the distinct's partial aggregation) run in ONE task
     # (measured: warm exec 2.3 → 6.1 s after the BLAS change alone; this
     # repartition restores it). Keyless round-robin, NOT hash on
-    # (band, bv): only 16 bands × 4 two-bit values = 64 distinct keys
+    # (band, bv): only 32 bands × 4 two-bit values = 128 distinct keys
     # exist, far under the 20-100×-keys-per-partition rule, so a hash
     # spread would leave partitions empty and concentrate hot buckets.
     # defaultParallelism is the session's scale dial, not a constant.
-    band_rows = emb.mapInPandas(
-        _sig_gen, "vec_id long, band int, bv bigint"
+    # The GEMM body is the shared _pruned_signatures_gemm (r12, ADVICE
+    # r11): same signs/packing arithmetic as the inline copy it replaces
+    # (verified band rows bit-identical, 64 000 rows), plus the output
+    # chunking the copy had dropped — this path now sits under the same
+    # parity-test shape as the pruned twin.
+    band_rows = _pruned_signatures_gemm(
+        emb,
+        EMB_BITS_PER_BAND,
+        n_bands,
+        planes_t=np.ascontiguousarray(plane_mat.T),
     ).repartition(spark.sparkContext.defaultParallelism)
     # Persist the signature table before the self-join: unlike the MinHash
     # bands (where persist-vs-recompute measured a wash), the 64-term plane
