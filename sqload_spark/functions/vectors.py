@@ -57,9 +57,42 @@ def dot_expanded_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
     a 32-plane LSH signature that way measured 5-11 s of driver-side build
     per invocation, all of it inside the benched wall. One string parsed
     server-side builds the identical tree: `+` is left-associative in both,
-    so the Add chain and therefore every IEEE result is bit-identical)."""
+    so the Add chain and therefore every IEEE result is bit-identical).
+
+    FORM CHOICE (re-measured r12): the expanded element_at sum only wins
+    where the terms are already flat SCALAR columns (the banded re-rank's
+    unpacked x{i}*b{i} over ~2M pairs — there it codegens compactly and
+    beat the fold 4×). Over ARRAY columns, the 64 element_at calls
+    generate a method past the whole-stage-codegen size limit: the stage
+    falls back and the giant expression evaluates slowly EVERY run
+    (profiled at sf0.1: a NO_CODEGEN session runs the same 80 K-pair plan
+    2.6× faster, and the cost never amortizes across runs). For
+    array-column pair paths use ``dot_fold_sql`` below — measured 1.3-2.5×
+    faster per query across the seven sim entries, both A/B orders."""
     return " + ".join(
         f"element_at({a}, {i}) * element_at({b}, {i})" for i in range(1, dim + 1)
+    )
+
+
+def dot_fold_sql(a: str, b: str) -> str:
+    """``dot`` (the zip_with/aggregate fold) as ONE SQL string — the hot
+    form for ARRAY-column pair paths (see the form-choice note on
+    ``dot_expanded_sql``). Same left-to-right association as ``dot`` and as
+    the expanded sum apart from the leading ``0.0 +`` — IEEE-identical on
+    every term sequence except an all-signed-zero dot (measure-zero; both
+    forms carry multi-round oracle-green history). Width-agnostic: the
+    fold never indexes past the end, so it needs no fixed-dim contract."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def cosine_fold_sql(a: str, b: str) -> str:
+    """``cosine`` via ``dot_fold_sql`` (see the form-choice note)."""
+    return (
+        f"({dot_fold_sql(a, b)}) / "
+        f"(sqrt({dot_fold_sql(a, a)}) * sqrt({dot_fold_sql(b, b)}))"
     )
 
 

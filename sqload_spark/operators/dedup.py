@@ -32,7 +32,7 @@ from sqload_spark.functions.text_funcs import (
 from sqload_spark.registry import query
 from sqload_spark.session import persist_bounded
 from sqload_spark.sources.tables import load_embeddings, load_table
-from sqload_spark.functions.vectors import EMB_VALID_SQL, dot_expanded_sql
+from sqload_spark.functions.vectors import EMB_VALID_SQL, dot_fold_sql
 
 # Contract-filtered embeddings scan for oracles (vectors.EMB_VALID_SQL).
 _EMB = f"(SELECT * FROM embeddings WHERE {EMB_VALID_SQL})"
@@ -1114,8 +1114,13 @@ def _pruned_rerank(corpus: DataFrame, candidates: DataFrame) -> DataFrame:
     registered query and the scale-path twin, so a semantics change (norm,
     rounding, threshold) can never desynchronize the never-oracle-checked
     scale measurements from the registered contract (round-7 review).
-    The per-candidate dot is the expanded codegen form (bit-identical to
-    the fold; functions/vectors.py)."""
+    The per-candidate dot is the FOLD form (r12): over ARRAY columns the
+    expanded element_at sum busts the codegen method limit and evaluates
+    slowly every run — measured here 12.8 → 5.9 s min on the registered
+    pruned query (alternating 3 passes, rows identical); the form-choice
+    note lives in functions/vectors.py. The scalar-column expanded form
+    (embedding_cosine_dups, the banded re-rank) is a different, still-
+    optimal regime."""
     _norm_sql = (
         "sqrt(aggregate(zip_with(v, v, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x))"
     )
@@ -1130,7 +1135,7 @@ def _pruned_rerank(corpus: DataFrame, candidates: DataFrame) -> DataFrame:
         .join(vb, "vec_b")
         .withColumn(
             "cos_raw",
-            F.expr(f"({dot_expanded_sql('v_a', 'v_b')}) / (n_a * n_b)"),
+            F.expr(f"({dot_fold_sql('v_a', 'v_b')}) / (n_a * n_b)"),
         )
         .filter(F.col("cos_raw") >= PRUNED_COSINE_THRESHOLD)
         .select("vec_a", "vec_b", round_half_up(F.col("cos_raw"), 4).alias("cos_sim"))

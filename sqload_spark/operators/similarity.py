@@ -25,16 +25,18 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from sqload_spark.functions.rounding import round_half_up, sql_round_half_up
-# cosine_expanded, not the cosine fold, on every per-candidate path:
-# bit-identical values in whole-stage codegen instead of the interpreted
-# higher-order evaluator (functions/vectors.py docstring; round 7)
+# The FOLD dot/cosine on every array-column pair path (re-measured r12):
+# the expanded element_at sum generates a method past the whole-stage-
+# codegen size limit over array columns, so the stage falls back and the
+# giant expression evaluates slowly every run — the fold measured 1.3-2.5×
+# faster per query across all seven sim entries, both A/B orders, rows
+# identical (form-choice note in functions/vectors.py; the expanded form
+# still wins on flat SCALAR columns, e.g. the banded re-rank).
 from sqload_spark.functions.vectors import (
     EMB_VALID_SQL,
-    cosine_expanded,
-    cosine_expanded_sql,
+    cosine_fold_sql,
     dot,
-    dot_expanded,
-    dot_expanded_sql,
+    dot_fold_sql,
     to_double_array,
 )
 
@@ -110,19 +112,19 @@ def topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # norms once per VECTOR map-side (n sqrt sums), never per PAIR (Spark
     # has no cross-row CSE, so an in-pair cosine recomputes both self-dots
     # on every one of the n×q rows — 3× the hot-path arithmetic; round-7
-    # review). sqrt(dot_expanded(v,v)) has the same association as the
+    # review). sqrt(dot_fold_sql(v,v)) keeps the same association as the
     # in-pair form, so values stay bit-identical and the oracle unchanged.
     emb = load_embeddings(spark, sf_dir).select(
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
-    emb = emb.withColumn("nrm", F.expr(f"sqrt({dot_expanded_sql('v', 'v')})"))
+    emb = emb.withColumn("nrm", F.expr(f"sqrt({dot_fold_sql('v', 'v')})"))
     q = _queries_df(emb).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
         "q_id",
         F.col("vec_id").alias("n_id"),
-        F.expr(f"({dot_expanded_sql('qv', 'v')}) / (qn * nrm)").alias("cos_raw"),
+        F.expr(f"({dot_fold_sql('qv', 'v')}) / (qn * nrm)").alias("cos_raw"),
     )
     return _topk(pairs)
 
@@ -195,7 +197,7 @@ def _hyperplane_topk(
     sig = emb.selectExpr(
         "vec_id",
         "v",
-        f"sqrt({dot_expanded_sql('v', 'v')}) AS nrm",
+        f"sqrt({dot_fold_sql('v', 'v')}) AS nrm",
         *band_sql,
     )
     q = _queries_df(sig).select(
@@ -211,7 +213,7 @@ def _hyperplane_topk(
     pairs = sig.join(F.broadcast(q), (F.col("vec_id") != F.col("q_id")) & band_match).select(
         "q_id",
         F.col("vec_id").alias("n_id"),
-        F.expr(f"({dot_expanded_sql('qv', 'v')}) / (qn * nrm)").alias("cos_raw"),
+        F.expr(f"({dot_fold_sql('qv', 'v')}) / (qn * nrm)").alias("cos_raw"),
     )
     return _topk(pairs)
 
@@ -271,7 +273,7 @@ def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = emb.select(
         "vec_id",
         "v",
-        F.expr(f"sqrt({dot_expanded_sql('v', 'v')}) AS nrm"),
+        F.expr(f"sqrt({dot_fold_sql('v', 'v')}) AS nrm"),
         F.element_at(ranked_struct, 1)["idx"].alias("cluster"),
         F.slice(ranked_struct, 1, N_PROBE).alias("probe_structs"),
     )
@@ -292,7 +294,7 @@ def topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
-            F.expr(f"({dot_expanded_sql('qv', 'v')}) / (qn * nrm)").alias("cos_raw"),
+            F.expr(f"({dot_fold_sql('qv', 'v')}) / (qn * nrm)").alias("cos_raw"),
         )
     )
     return _topk(pairs)
@@ -340,7 +342,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir).filter(F.col("vec_id") % 10 == 0)
     # per-vector norm map-side, not per-pair (see topk_bruteforce)
     sub = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
-    sub = sub.withColumn("nrm", F.expr(f"sqrt({dot_expanded_sql('v', 'v')})"))
+    sub = sub.withColumn("nrm", F.expr(f"sqrt({dot_fold_sql('v', 'v')})"))
     right = sub.select(
         F.col("vec_id").alias("dst"), F.col("v").alias("dv"), F.col("nrm").alias("dn")
     )
@@ -350,7 +352,7 @@ def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "src",
             "dst",
-            F.expr(f"({dot_expanded_sql('v', 'dv')}) / (nrm * dn)").alias("cos_raw"),
+            F.expr(f"({dot_fold_sql('v', 'dv')}) / (nrm * dn)").alias("cos_raw"),
         )
     )
     w = W.partitionBy("src").orderBy(F.col("cos_raw").desc(), F.col("dst"))
@@ -490,7 +492,7 @@ def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_embeddings(spark, sf_dir).filter(F.col("vec_id") % 10 == 0)
     # per-vector norm map-side, not per-pair (see topk_bruteforce)
     sub = emb.select("vec_id", to_double_array(F.col("embedding")).alias("v"))
-    sub = sub.withColumn("nrm", F.expr(f"sqrt({dot_expanded_sql('v', 'v')})"))
+    sub = sub.withColumn("nrm", F.expr(f"sqrt({dot_fold_sql('v', 'v')})"))
     right = sub.select(
         F.col("vec_id").alias("dst"), F.col("v").alias("dv"), F.col("nrm").alias("dn")
     )
@@ -500,7 +502,7 @@ def pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "src",
             "dst",
-            F.expr(f"({dot_expanded_sql('v', 'dv')}) / (nrm * dn)").alias("cos_raw"),
+            F.expr(f"({dot_fold_sql('v', 'dv')}) / (nrm * dn)").alias("cos_raw"),
         )
     )
     w = W.partitionBy("src").orderBy(F.col("cos_raw").desc(), F.col("dst"))
@@ -707,7 +709,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     q = _queries_df(emb).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-    rel6 = round_half_up(F.expr(cosine_expanded_sql("qv", "v")), 6)
+    rel6 = round_half_up(F.expr(cosine_fold_sql("qv", "v")), 6)
     pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
         "q_id", F.col("vec_id").alias("n_id"), F.col("v"), rel6.alias("rel")
     )
@@ -728,7 +730,7 @@ def mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.q_id").alias("q_id"),
             F.col("a.n_id").alias("i"),
             F.col("b.n_id").alias("j"),
-            round_half_up(F.expr(cosine_expanded_sql("a.v", "b.v")), 6).alias("sim"),
+            round_half_up(F.expr(cosine_fold_sql("a.v", "b.v")), 6).alias("sim"),
         )
     )
 
@@ -914,7 +916,7 @@ def crossencoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", to_double_array(F.col("embedding")).alias("v")
     )
     q = _queries_df(emb).select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-    rel6 = round_half_up(F.expr(cosine_expanded_sql("qv", "v")), 6)
+    rel6 = round_half_up(F.expr(cosine_fold_sql("qv", "v")), 6)
     pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).select(
         "q_id", F.col("vec_id").alias("n_id"), rel6.alias("rel")
     )
