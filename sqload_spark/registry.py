@@ -68,42 +68,46 @@ _loaded = False
 # After this round no name's newest external row is older than r8 and the
 # whole 193-oracle surface has been externally re-checked within 4 rounds.
 #
-# ROUND-12 RECIPE AND STEADY STATE (verify against CORRECTNESS_r11 first):
-#   1. any name CORRECTNESS_r11 unexpectedly missed or errored;
+# ROUND-12 ROTATION EXECUTED (the standing always-the-50-stalest rule):
+# CORRECTNESS_r11 read 50/50 hash-green with zero misses/errors, so step 1
+# ("any name the last round missed or errored") contributed nothing and the
+# window is exactly tools/coverage_report.py --list's stalest 50 at staging
+# time: the 45 r8 hash-green names + the 5 oldest r9 rows (the dedup_* r9
+# block head). After this round no name's newest external row is older
+# than r9.
+#
+# ROUND-13+ RECIPE (the same standing rule every round):
+#   1. any name the newest CORRECTNESS_rNN unexpectedly missed or errored;
 #   2. fill to 50 with the stalest hash-green names per
-#      tools/coverage_report.py --list (after r11 that is the 45 remaining
-#      r8 names + the 5 oldest r9 rows, but the listing is authoritative —
-#      recompute it, don't trust this comment).
-# From round 12 on this IS the standing rule every round: always the 50
-# stalest. Rows-only-by-design entries (dedup_simhash, LSH/IVF recall
-# paths, mm_decode_features, the generator tables) stay out of the window —
+#      tools/coverage_report.py --list — the listing is authoritative,
+#      recompute it, don't trust this comment.
+# Rows-only-by-design entries (dedup_simhash, LSH/IVF recall paths,
+# mm_decode_features, the generator tables) stay out of the window —
 # law-tested in pytest instead.
 # Between driver rounds, `tools/coverage_report.py --sample N [seed]` runs
 # N random oracled queries through the drive_entry comparator (the
 # judge-sample protocol) for standing evidence.
 
 _PRIORITY = [
-    # -- the 45 r6-stale refreshes (oldest external rows in the registry) ----
-    "etl_constraint_check", "etl_dynamic_partition_overwrite",
-    "etl_file_sizing", "mm_dedup_payload", "mm_frame_sample",
-    "pipe_output_manifest", "q7_volume_shipping", "q8_market_share",
-    "q_array_higher_order", "q_equidepth_histogram", "q_mode_per_group",
-    "q_profile_columns", "q_sample_temperature", "q_source_quota_cap",
-    "q_token_histogram", "q_unpivot_measures", "q_window_ntile_bands",
-    "q_window_range_frame", "sim_knn_graph", "sim_pagerank_knn",
-    "sim_topk_blas", "sim_vector_quantize", "src_schema_evolution",
-    "stream_drift_scores", "stream_late_data_policy", "stream_sliding_counts",
-    "stream_static_enrich", "stream_stream_interval_join",
-    "stream_upsert_compaction", "text_gopher_quality", "text_inverted_index",
-    "text_pii_scrub", "text_quality_arrow_udf", "text_unigram_logprob",
-    "text_vocab_coverage", "ts_anomaly_days", "ts_asof_nearest_tolerance",
-    "ts_ewma", "ts_funnel_stages", "ts_gap_fill", "ts_ohlc_bars",
-    "ts_resample_interp", "ts_retention_cohorts", "ts_transition_matrix",
-    "ts_window_unique_users",
-    # -- 5 oldest r8 rows to fill the 50-name window -------------------------
-    "dedup_embedding_cosine", "dedup_embedding_cosine_banded",
-    "dedup_embedding_cosine_banded_pruned", "dedup_keep_list",
-    "dedup_minhash_lsh",
+    # -- the 45 r8-stale hash-green refreshes (oldest external rows) ---------
+    "etl_jdbc_bulk_load", "etl_partitioned_bulk_load", "etl_zorder_cluster",
+    "mm_payload_stats", "pipe_training_mix", "q1_pricing_summary",
+    "q3_shipping_priority", "q_approx_count_distinct", "q_approx_percentile",
+    "q_chunk_documents", "q_conditional_agg", "q_correlated_scalar",
+    "q_exists_correlated", "q_from_json_map", "q_grouping_sets",
+    "q_in_subquery", "q_mix_rebalance", "q_pack_sequences",
+    "q_range_join_bands", "q_salted_agg", "q_salted_join", "q_sample_hash",
+    "q_sample_stratified", "q_scalar_subquery", "q_split_leakage_safe",
+    "q_winsorize", "sim_label_centroids", "sim_topk_bruteforce",
+    "sim_topk_hyperplane_lsh", "sketch_count_min", "sketch_hll_merge",
+    "src_csv_roundtrip", "src_json_roundtrip", "stream_tumbling_counts",
+    "text_quality_pandas_udf", "text_token_stats",
+    "text_top_terms_applyinpandas", "ts_asof_join", "ts_daily_rate",
+    "ts_first_last_per_user", "ts_moving_avg", "ts_multires_rollup",
+    "ts_sessionize", "ts_sliding_window", "ts_tumbling_window",
+    # -- 5 oldest r9 rows to fill the 50-name window -------------------------
+    "dedup_edit_distance", "dedup_exact_groups", "dedup_minhash_checked",
+    "dedup_minhash_eval", "dedup_ngram_jaccard",
 ]
 
 
